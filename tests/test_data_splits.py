@@ -1,0 +1,104 @@
+import numpy as np
+import pytest
+
+from s2s_ismr_tpu.data import synthetic
+from s2s_ismr_tpu.data.bundle import DataBundle
+from s2s_ismr_tpu.grid import Domain
+from s2s_ismr_tpu.train import splits
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return synthetic.synthetic_hindcast(years=(2003, 2010), seed=1,
+                                        domain=Domain(67, 98, 7, 38), step=2.0)
+
+
+def test_synthetic_shapes_and_conventions(bundle):
+    assert bundle.x.shape[0] == bundle.y.shape[0] == len(bundle.t)
+    assert bundle.x.shape[1] == synthetic.ENSEMBLE_SIZES["ECMWF"]
+    assert bundle.x.shape[2:] == bundle.y.shape[1:] == (16, 16)
+    # ocean mask present and static
+    nanmask = np.isnan(bundle.y)
+    assert nanmask.any() and (nanmask == nanmask[0]).all()
+    # no NaNs in predictors
+    assert not np.isnan(bundle.x).any()
+    # weekly cadence, target season
+    # T = S + mean lead shifts the last September inits into October weeks
+    assert set(np.unique(bundle.weeks)) <= set(range(18, 45))
+
+
+def test_synthetic_signal_is_learnable(bundle):
+    """Ensemble mean should correlate with obs where obs are valid."""
+    xm = bundle.ensemble_mean()
+    ok = bundle.valid_pixels()
+    a = xm[:, ok].ravel()
+    b = bundle.y[:, ok].ravel()
+    r = np.corrcoef(np.log(a + 1e-3), np.log(b + 1e-3))[0, 1]
+    assert r > 0.3, f"synthetic signal too weak: r={r}"
+
+
+def test_bundle_pad_and_fill(bundle):
+    # 16x16 divisible by 8 already
+    assert bundle.pad_to_grid(3) is bundle
+    padded = bundle.pad_to_grid(5)  # needs 32 multiple
+    assert padded.x.shape[2:] == (32, 32)
+    assert np.isnan(padded.y[:, 16:]).all()
+    assert (padded.x[:, :, 16:] == 0).all()
+    filled = bundle.fillna(0.0)
+    assert not np.isnan(filled.y).any()
+
+
+def test_bundle_validation():
+    with pytest.raises(ValueError):
+        DataBundle(x=np.zeros((3, 2, 4, 4)), y=np.zeros((2, 4, 4)),
+                   t=np.array(["2003-01-01", "2003-01-08"], dtype="datetime64[ns]"),
+                   lats=np.arange(4), lons=np.arange(4))
+
+
+def _reference_nn_partition(unique_years, i, frac_valid=0.2, frac_test=0.1):
+    """Independent re-derivation of preprocessing.py:359-371."""
+    np.random.seed(i)
+    shuffled = np.random.permutation(unique_years)
+    n = len(shuffled)
+    nv, nt = int(frac_valid * n), int(frac_test * n)
+    return (set(shuffled[nv + nt:]), set(shuffled[:nv]), set(shuffled[nv:nv + nt]))
+
+
+def test_nn_split_seed_parity(bundle):
+    fm = splits.bootstrap_masks(bundle.years, n_bootstraps=10)
+    uniq = np.unique(bundle.years)
+    for i in range(10):
+        tr, va, te = _reference_nn_partition(uniq, i)
+        assert fm.train_years[i] == tr
+        assert fm.val_years[i] == va
+        assert fm.test_years[i] == te
+        # masks consistent with year sets and disjoint/complete
+        yrs = bundle.years
+        np.testing.assert_array_equal(fm.train[i], np.isin(yrs, list(tr)))
+        assert not (fm.train[i] & fm.val[i]).any()
+        assert not (fm.train[i] & fm.test[i]).any()
+        assert (fm.train[i] | fm.val[i] | fm.test[i]).all()
+
+
+def test_elr_split_seed_parity(bundle):
+    fm = splits.bootstrap_masks_elr(bundle.years, n_bootstraps=10, frac_test=0.3)
+    uniq = np.unique(bundle.years)
+    for i in range(10):
+        np.random.seed(i)
+        shuffled = np.random.permutation(uniq)
+        n_test = int(len(shuffled) * 0.3)
+        assert fm.train_years[i] == set(shuffled[:-n_test].tolist())
+        assert fm.test_years[i] == set(shuffled[-n_test:].tolist())
+        assert (fm.train[i] | fm.test[i]).all()
+        assert not (fm.train[i] & fm.test[i]).any()
+
+
+def test_mme_ensemble_shares_truth():
+    xs, ys = synthetic.synthetic_ensemble(models=("GEFS", "ECMWF"), seed=3,
+                                          years=(2003, 2006), step=2.0)
+    a, b = xs["GEFS"], xs["ECMWF"]
+    np.testing.assert_array_equal(a.y, b.y)          # shared obs
+    assert a.t is not None and (a.t == b.t).all()    # aligned T
+    assert not np.allclose(a.x[:, 0], b.x[:, 0])     # different forecasts
+    assert a.n_m == synthetic.ENSEMBLE_SIZES["GEFS"]
+    assert b.n_m == synthetic.ENSEMBLE_SIZES["ECMWF"]
