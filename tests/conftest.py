@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
+import jax  # noqa: E402
+
+# In this image the 'axon' TPU plugin ignores the JAX_PLATFORMS env var;
+# only the config flag reliably forces the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
