@@ -1,0 +1,124 @@
+"""Declarative configs — one per reference tune_*.py script.
+
+Every knob mirrors the constants hardcoded at the top of the corresponding
+script's main() (SURVEY.md section 2.7; e.g. tune_ECMWF_com.py:24-41,
+tuning grid :91-92). The reference has no config system at all; this
+registry is its replacement, and `python -m s2s_ismr_tpu.run <name>` is
+the CLI the reference never had.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Tuple
+
+from ..grid import Domain
+from ..train.sweep import TuningGrid
+
+# lead-day windows per named week (dataloader.py:169)
+LEAD_MAPPING = {"wk1": (2, 8), "wk2": (9, 15), "wk3-4": (16, 29)}
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    name: str
+    models: Tuple[str, ...]                  # 1 entry = single-model script
+    obs: str = "IMD"
+    domain: Domain = Domain(67, 98, 7, 38)
+    season: str = "May-Sep"
+    years: Tuple[int, int] = (2003, 2018)
+    week: str = "wk3-4"
+    custom_lead: Optional[Tuple[int, int]] = None
+    custom_leads: Optional[Dict[str, Tuple[int, int]]] = None   # MME only
+    regrid: Optional[float] = None           # degrees, None = native grid
+    n_bootstraps: int = 10
+    out_dir: str = ""                        # 'Common Period/' etc.
+    pad_y_rows: int = 0                      # ECMWF full: 1
+    pad_lat_value: Optional[float] = None    # ECMWF full: 40.5
+    tuning: TuningGrid = field(default_factory=TuningGrid)
+    architecture: str = "unet"
+    epochs: int = 100
+    elr_frac_test: float = 0.3
+    nn_frac_valid: float = 0.2
+    nn_frac_test: float = 0.1
+
+    @property
+    def is_mme(self):
+        return len(self.models) > 1
+
+    def lead(self, model=None):
+        if self.custom_leads and model:
+            return self.custom_leads[model]
+        return self.custom_lead or LEAD_MAPPING[self.week]
+
+    def fast_variant(self, n_bootstraps=2, epochs=6, step=2.0):
+        """Shrunken config for smoke runs/CI: fewer folds/epochs, a 2-trial
+        grid. Not part of reference parity — a framework affordance."""
+        g = self.tuning
+        small = TuningGrid(n_blocks=(min(g.n_blocks),),
+                           n_filters=(min(g.n_filters),),
+                           ct_kernels=tuple(g.ct_kernels[:2]),
+                           batch_sizes=(g.batch_sizes[0],),
+                           learning_rates=(g.learning_rates[0],),
+                           patience=min(g.patience, 5))
+        return replace(self, n_bootstraps=n_bootstraps, epochs=epochs,
+                       tuning=small)
+
+
+_COM_GRID = TuningGrid(n_blocks=(3,), n_filters=(2, 3),
+                       ct_kernels=((2, 2), (3, 3), (5, 5)),
+                       batch_sizes=(16, 32), learning_rates=(1e-3, 1e-4),
+                       patience=15)
+_BLOCKS_GRID = TuningGrid(n_blocks=(3, 4, 5), n_filters=(2, 3),
+                          ct_kernels=((2, 2), (3, 3), (5, 5)),
+                          batch_sizes=(16,), learning_rates=(1e-3,),
+                          patience=10)
+
+CONFIGS: Dict[str, PipelineConfig] = {
+    # tune_ECMWF_com.py: 1-deg regrid -> 32x32, custom lead (16,30)
+    "tune_ECMWF_com": PipelineConfig(
+        name="tune_ECMWF_com", models=("ECMWF",), years=(2003, 2018),
+        custom_lead=(16, 30), regrid=1, out_dir="Common Period/",
+        tuning=_COM_GRID),
+    # tune_ECMWF_full.py: native grid 23x24 padded to 24x24 (lat 40.5)
+    "tune_ECMWF_full": PipelineConfig(
+        name="tune_ECMWF_full", models=("ECMWF",),
+        domain=Domain(66, 100, 7, 39), years=(2003, 2022),
+        custom_lead=(17, 30), regrid=None, out_dir="Full Period/",
+        pad_y_rows=1, pad_lat_value=40.5, tuning=_COM_GRID),
+    # tune_GEFS_com.py: wk2 lead, blocks-sweep grid
+    "tune_GEFS_com": PipelineConfig(
+        name="tune_GEFS_com", models=("GEFS",), years=(2003, 2018),
+        week="wk2", regrid=1, out_dir="Common Period/", tuning=_BLOCKS_GRID),
+    # tune_GEFS_full.py: 1989-2018 native grid
+    "tune_GEFS_full": PipelineConfig(
+        name="tune_GEFS_full", models=("GEFS",), years=(1989, 2018),
+        regrid=None, out_dir="Full Period/", tuning=_BLOCKS_GRID),
+    # tune_IITM_com.py
+    "tune_IITM_com": PipelineConfig(
+        name="tune_IITM_com", models=("IITM",), years=(2003, 2018),
+        regrid=1, out_dir="Common Period/", tuning=_BLOCKS_GRID),
+    # tune_IITM_full.py: native 0.5 deg -> 64x64
+    "tune_IITM_full": PipelineConfig(
+        name="tune_IITM_full", models=("IITM",),
+        domain=Domain(67, 98.5, 7, 38.5), years=(2003, 2022),
+        regrid=None, out_dir="Full Period/", tuning=_BLOCKS_GRID),
+    # tune_MME.py: 3-model blend with per-model leads (tune_MME.py:49)
+    "tune_MME": PipelineConfig(
+        name="tune_MME", models=("GEFS", "IITM", "ECMWF"), years=(2003, 2018),
+        custom_leads={"GEFS": (16, 29), "IITM": (16, 29), "ECMWF": (16, 30)},
+        regrid=1, out_dir="MME/", tuning=_BLOCKS_GRID),
+    # tune_2MME.py: IITM+ECMWF only
+    "tune_2MME": PipelineConfig(
+        name="tune_2MME", models=("IITM", "ECMWF"), years=(2003, 2018),
+        custom_leads={"IITM": (16, 29), "ECMWF": (16, 30)},
+        regrid=1, out_dir="2MME/", tuning=_BLOCKS_GRID),
+}
+
+
+def get_config(name: str) -> PipelineConfig:
+    key = name if name in CONFIGS else f"tune_{name}"
+    if key not in CONFIGS:
+        raise KeyError(f"unknown pipeline {name!r}; available: "
+                       f"{sorted(CONFIGS)}")
+    return CONFIGS[key]

@@ -1,0 +1,316 @@
+"""The tune pipeline runner — one call = one reference tune_*.py script.
+
+Reference flow (tune_ECMWF_com.py:22-186): data fetch -> ELR branch
+(year-bootstrap splits, per-pixel GLM, RPSS netcdfs, maps) -> NN branch
+(splits, grid-search tuning, RPSS netcdfs) -> skill mask -> maps +
+reliability comparisons -> checkpoint cleanup.
+
+Here each branch is a handful of jitted/vmapped device programs; the host
+only moves data, writes netcdfs (same outputs/ layout), and draws figures.
+MME configs blend per-model tercile probabilities and renormalize
+(training.py:344-350, 622-626).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import timeutils
+from ..data.bundle import DataBundle
+from ..field import Field
+from ..io import write_netcdf
+from ..ops import elr as elr_ops
+from ..ops import metrics, terciles
+from ..train import splits
+from ..train.sweep import SweepResult, TuningGrid, run_unet_sweep
+from .configs import PipelineConfig
+
+
+# ----------------------------------------------------------------- data load
+def load_bundles(cfg: PipelineConfig, source="synthetic", seed=0,
+                 synthetic_step=None, download=True) -> Dict[str, DataBundle]:
+    """Fetch one DataBundle per model (synthetic or IRIDL gateway)."""
+    if source == "synthetic":
+        from ..data import synthetic
+        step = synthetic_step or (cfg.regrid or 1.0)
+        if cfg.is_mme:
+            xs, _ = synthetic.synthetic_ensemble(
+                models=cfg.models, seed=seed, years=cfg.years,
+                season=cfg.season, domain=cfg.domain, step=step,
+                lead=cfg.lead(cfg.models[0]))
+            return xs
+        return {cfg.models[0]: synthetic.synthetic_hindcast(
+            model=cfg.models[0], obs=cfg.obs, years=cfg.years,
+            season=cfg.season, domain=cfg.domain, step=step, seed=seed,
+            lead=cfg.lead())}
+    elif source == "iridl":
+        from ..data import gateway
+        out = {}
+        for m in cfg.models:
+            x, y = gateway.get_data(
+                years=cfg.years, download=download, week=cfg.week, model=m,
+                obs=cfg.obs, domain=cfg.domain.as_tuple(), season=cfg.season,
+                regrid=cfg.regrid, custom_lead=cfg.lead(m))
+            out[m] = gateway.to_bundle(x, y, name=f"{m}_{cfg.obs}")
+        if cfg.is_mme:
+            out = _align_mme(out)
+        return out
+    raise ValueError(f"unknown source {source!r}")
+
+
+def _align_mme(bundles: Dict[str, DataBundle]) -> Dict[str, DataBundle]:
+    """T-midpoint alignment across models (tune_MME.py:66-81)."""
+    names = list(bundles)
+    t1 = bundles[names[0]].t
+    t2 = bundles[names[1]].t
+    mid = t1 + (t2 - t1) / 2
+    out = {}
+    for n, b in bundles.items():
+        if len(b.t) != len(mid):
+            raise ValueError(f"MME model {n} time axis length mismatch")
+        from dataclasses import replace
+        out[n] = replace(b, t=mid)
+    return out
+
+
+def _apply_pad(cfg: PipelineConfig, b: DataBundle) -> DataBundle:
+    """ECMWF full-period 23->24 Y pad with synthetic lat + zero fill
+    (tune_ECMWF_full.py:50-57). The reference zero-fills padded y too; we
+    pad y with zeros to match its NN labels and rely on the end-of-run
+    skill mask exactly as the reference does."""
+    if cfg.pad_y_rows == 0:
+        return b
+    from dataclasses import replace
+    py = cfg.pad_y_rows
+    x = np.pad(b.x, ((0, 0), (0, 0), (0, py), (0, 0)))
+    y = np.pad(b.y, ((0, 0), (0, py), (0, 0)))
+    lats = np.concatenate([b.lats, [cfg.pad_lat_value] * py])
+    return replace(b, x=x, y=y, lats=lats)
+
+
+# -------------------------------------------------------------- ELR branch
+@dataclass
+class ElrResult:
+    rpss_train: Field
+    rpss_test: Field
+    test_probs: np.ndarray          # (F, T, Y, X, 3)
+    labels: np.ndarray              # (F, T, Y, X) degenerate-masked labels
+    masks: splits.FoldMasks
+
+
+def run_elr_branch(cfg: PipelineConfig, bundles, log=print) -> ElrResult:
+    names = list(bundles)
+    first = bundles[names[0]]
+    y_shared = np.mean(np.stack([bundles[n].y for n in names]), axis=0) \
+        if cfg.is_mme else first.y
+    fm = splits.bootstrap_masks_elr(first.years, cfg.n_bootstraps,
+                                    frac_test=cfg.elr_frac_test)
+    wm = timeutils.week_window_matrix(1)
+    weeks = first.weeks
+
+    targets, labels = [], []
+    for f in range(fm.n_folds):
+        e, p = terciles.rolling_edges(y_shared, weeks, fm.train[f], wm)
+        targets.append(np.asarray(terciles.elr_targets(y_shared, weeks, e, p)))
+        labels.append(np.asarray(
+            terciles.label_terciles(y_shared, weeks, e, p, True)))
+    targets = np.stack(targets)
+    labels = np.stack(labels)
+
+    per_model_probs = []
+    for n in names:
+        xm = bundles[n].ensemble_mean()
+        probs = np.asarray(elr_ops.elr_folds(xm, targets, fm.train, fm.test,
+                                             y_shared))
+        per_model_probs.append(probs)
+        log(f"[elr] model {n}: fitted {probs.shape}")
+    if cfg.is_mme:
+        probs = np.asarray(elr_ops.blend_probabilities(per_model_probs))
+    else:
+        probs = per_model_probs[0]
+
+    # climo reference from the last-iterated model's predictor, matching the
+    # reference's loop-variable quirk (training.py:636-640)
+    climo = metrics.climo_forecast(bundles[names[-1]].ensemble_mean())
+    r_tr = np.stack([np.asarray(metrics.rpss(climo, probs[f], labels[f],
+                                             fm.train[f]))
+                     for f in range(fm.n_folds)])
+    r_te = np.stack([np.asarray(metrics.rpss(climo, probs[f], labels[f],
+                                             fm.test[f]))
+                     for f in range(fm.n_folds)])
+    coords = {"Y": first.lats, "X": first.lons}
+    return ElrResult(
+        rpss_train=Field(r_tr, ("bootstrap", "Y", "X"), coords, "rpss"),
+        rpss_test=Field(r_te, ("bootstrap", "Y", "X"), coords, "rpss"),
+        test_probs=probs, labels=labels, masks=fm)
+
+
+# --------------------------------------------------------------- NN branch
+@dataclass
+class NNResult:
+    rpss_train: Field
+    rpss_val: Field
+    rpss_test: Field
+    predictions: np.ndarray         # (F, T, Y, X, 3) blended winner preds
+    labels: np.ndarray              # (F, T, Y, X)
+    masks: splits.FoldMasks
+    sweeps: Dict[str, SweepResult]
+    best_hparams: list
+
+
+def run_nn_branch(cfg: PipelineConfig, bundles, log=print) -> NNResult:
+    names = list(bundles)
+    filled = {n: b.fillna(0.0) for n, b in bundles.items()}
+    first = filled[names[0]]
+    y_shared = np.mean(np.stack([filled[n].y for n in names]), axis=0) \
+        if cfg.is_mme else first.y
+
+    fm = splits.bootstrap_masks(first.years, cfg.n_bootstraps,
+                                frac_valid=cfg.nn_frac_valid,
+                                frac_test=cfg.nn_frac_test)
+    for i in range(fm.n_folds):
+        log(f"[nn] fold {i + 1}: train={sorted(fm.train_years[i])} "
+            f"val={sorted(fm.val_years[i])} test={sorted(fm.test_years[i])}")
+
+    wm = timeutils.week_window_matrix(1)
+    weeks = first.weeks
+    lab_folds = jax.vmap(
+        lambda pm: terciles.fit_and_label(y_shared, weeks, pm, wm, None)[0]
+    )(jnp.asarray(fm.train))
+    y_oh = jnp.nan_to_num(terciles.one_hot_labels(lab_folds), nan=0.0)
+    labels = np.asarray(lab_folds)
+
+    sweeps: Dict[str, SweepResult] = {}
+    per_model_preds = []
+    for n in names:
+        x = jnp.asarray(filled[n].ensemble_mean()[..., None])
+        t0 = time.time()
+        res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
+                             epochs=cfg.epochs)
+        log(f"[nn] model {n}: sweep of {res.val_loss_table.shape[1]} trials "
+            f"x {fm.n_folds} folds in {time.time() - t0:.1f}s; "
+            f"winners={[t.hparams() for t in res.best_trial]}")
+        sweeps[n] = res
+        per_model_preds.append(res.predictions)
+
+    if cfg.is_mme:
+        preds = np.asarray(elr_ops.blend_probabilities(per_model_preds))
+    else:
+        preds = per_model_preds[0]
+
+    # NN-path climo: predictors are fillna'd so the reference's NaN-masked
+    # 1/3 forecast is just a constant (performance_metrics.py:11-23)
+    climo = metrics.climo_forecast(filled[names[-1]].ensemble_mean())
+    def _r(mask_set):
+        return np.stack([np.asarray(metrics.rpss(climo, preds[f], labels[f],
+                                                 mask_set[f]))
+                         for f in range(fm.n_folds)])
+    coords = {"Y": first.lats, "X": first.lons}
+    return NNResult(
+        rpss_train=Field(_r(fm.train), ("bootstrap", "Y", "X"), coords, "rpss"),
+        rpss_val=Field(_r(fm.val), ("bootstrap", "Y", "X"), coords, "rpss"),
+        rpss_test=Field(_r(fm.test), ("bootstrap", "Y", "X"), coords, "rpss"),
+        predictions=preds, labels=labels, masks=fm, sweeps=sweeps,
+        best_hparams=[
+            {n: sweeps[n].best_trial[f].hparams() for n in names}
+            for f in range(fm.n_folds)])
+
+
+# ------------------------------------------------------------- skill mask
+def skill_mask(nn: NNResult, y_raw: np.ndarray) -> np.ndarray:
+    """Reference end-of-run mask (tune_ECMWF_com.py:123-133): pixels whose
+    fold-0 test labels have < 3 unique classes, or any NaN in raw y."""
+    lab0 = nn.labels[0]
+    test0 = nn.masks.test[0]
+    sel = lab0[test0]
+    uniq = np.zeros(lab0.shape[1:], np.int32)
+    for k in range(3):
+        uniq += (sel == k).any(axis=0)
+    mask1 = uniq < 3
+    mask2 = np.isnan(y_raw).any(axis=0)
+    return mask1 | mask2
+
+
+# ------------------------------------------------------------------ driver
+@dataclass
+class TuneOutputs:
+    config: PipelineConfig
+    elr: ElrResult
+    nn: NNResult
+    mask: np.ndarray
+    paths: Dict[str, str] = field(default_factory=dict)
+    figures: Dict[str, str] = field(default_factory=dict)
+    elapsed_s: float = 0.0
+
+
+def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
+                 make_plots=False, save_outputs=True, seed=0,
+                 synthetic_step=None, log=print) -> TuneOutputs:
+    t_start = time.time()
+    log(f"####### TUNING {'+'.join(cfg.models)} for {cfg.obs} "
+        f"{cfg.week} ({cfg.name}) #######")
+    bundles = load_bundles(cfg, source, seed=seed,
+                           synthetic_step=synthetic_step)
+    bundles = {n: _apply_pad(cfg, b) for n, b in bundles.items()}
+    first = bundles[list(bundles)[0]]
+
+    out_dir = os.path.join(out_root, "outputs", cfg.out_dir,
+                           f"{'_'.join(cfg.models)}_{cfg.obs}")
+    paths = {}
+
+    log("########### ELR ###########")
+    elr_res = run_elr_branch(cfg, bundles, log)
+    if save_outputs:
+        for tag, fld in [("train", elr_res.rpss_train),
+                         ("test", elr_res.rpss_test)]:
+            p = os.path.join(out_dir, f"ELR_rpss_{tag}_{cfg.week}.nc")
+            paths[f"elr_{tag}"] = write_netcdf(fld, p)
+
+    log("########### Neural Network ###########")
+    nn_res = run_nn_branch(cfg, bundles, log)
+    arch = cfg.architecture
+    if save_outputs:
+        for tag, fld in [("train", nn_res.rpss_train),
+                         ("val", nn_res.rpss_val),
+                         ("test", nn_res.rpss_test)]:
+            p = os.path.join(out_dir, f"{arch}_rpss_{tag}_{cfg.week}.nc")
+            paths[f"nn_{tag}"] = write_netcdf(fld, p)
+        with open(os.path.join(out_dir, f"best_hparams_{cfg.week}.json"),
+                  "w") as fh:
+            json.dump(nn_res.best_hparams, fh, indent=1, default=str)
+        paths["hparams"] = os.path.join(out_dir, f"best_hparams_{cfg.week}.json")
+
+    y_raw = np.mean(np.stack([bundles[n].y for n in bundles]), 0) \
+        if cfg.is_mme else first.y
+    mask = skill_mask(nn_res, y_raw)
+
+    out = TuneOutputs(config=cfg, elr=elr_res, nn=nn_res, mask=mask,
+                      paths=paths, elapsed_s=time.time() - t_start)
+
+    if make_plots:
+        from ..viz import reliability, maps
+        figdir = os.path.join(out_root, "figures", cfg.out_dir,
+                              f"{'_'.join(cfg.models)}_{cfg.obs}")
+        out.figures.update(maps.plot_rpss_panels(
+            {"Train": elr_res.rpss_train, "Test": elr_res.rpss_test},
+            first.lats, first.lons, figdir,
+            f"{cfg.week.replace('-', '')}_RPSS_ELR"))
+        out.figures.update(maps.plot_rpss_panels(
+            {"Train": nn_res.rpss_train, "Validation": nn_res.rpss_val,
+             "Test": nn_res.rpss_test},
+            first.lats, first.lons, figdir,
+            f"{cfg.week.replace('-', '')}_RPSS_{arch.upper()}", mask=mask))
+        out.figures.update(reliability.compare_categories(
+            nn_res, elr_res, mask, cfg, figdir))
+
+    hh = time.strftime("%H:%M:%S", time.gmtime(out.elapsed_s))
+    log(f"####### DONE {cfg.name} in {hh} #######")
+    return out

@@ -1,0 +1,81 @@
+"""CLI: `python -m s2s_ismr_tpu.run <config> [options]`.
+
+The reference has eight copy-pasted scripts with hardcoded constants
+(SURVEY.md section 2.7); here one entry point runs any registered config:
+
+    python -m s2s_ismr_tpu.run tune_ECMWF_com --synthetic --fast
+    python -m s2s_ismr_tpu.run tune_MME --source iridl --plots
+    python -m s2s_ismr_tpu.run --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="s2s_ismr_tpu.run", description=__doc__)
+    ap.add_argument("config", nargs="?", help="pipeline name (e.g. tune_ECMWF_com)")
+    ap.add_argument("--list", action="store_true", help="list configs")
+    ap.add_argument("--source", default="synthetic",
+                    choices=["synthetic", "iridl"])
+    ap.add_argument("--synthetic", dest="source", action="store_const",
+                    const="synthetic")
+    ap.add_argument("--fast", action="store_true",
+                    help="shrunken smoke variant (2 folds, tiny grid)")
+    ap.add_argument("--plots", action="store_true", help="render figures")
+    ap.add_argument("--out", default=".", help="output root directory")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--step", type=float, default=None,
+                    help="synthetic grid step in degrees")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--folds", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    from .pipelines import CONFIGS, get_config
+    if args.list or not args.config:
+        for name, cfg in CONFIGS.items():
+            print(f"{name:18s} models={'+'.join(cfg.models):16s} "
+                  f"years={cfg.years} week={cfg.week} dir={cfg.out_dir!r}")
+        return 0
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    try:
+        cfg = get_config(args.config)
+    except KeyError as e:
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
+    if args.fast:
+        cfg = cfg.fast_variant()
+    from dataclasses import replace
+    if args.epochs:
+        cfg = replace(cfg, epochs=args.epochs)
+    if args.folds:
+        cfg = replace(cfg, n_bootstraps=args.folds)
+
+    from .pipelines.tune import run_pipeline
+    out = run_pipeline(cfg, source=args.source, out_root=args.out,
+                       make_plots=args.plots, seed=args.seed,
+                       synthetic_step=args.step)
+    summary = {
+        "config": cfg.name,
+        "elapsed_s": round(out.elapsed_s, 2),
+        "elr_rpss_test_mean": float(
+            __import__("numpy").nanmean(out.elr.rpss_test.values)),
+        "nn_rpss_test_mean": float(
+            __import__("numpy").nanmean(out.nn.rpss_test.values)),
+        "outputs": out.paths,
+        "figures": out.figures,
+    }
+    print(json.dumps(summary, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,6 +46,12 @@ def _year_partitions(unique_years, n_bootstraps, frac_valid, frac_test):
         n_years = len(shuffled)
         n_valid = int(frac_valid * n_years)
         n_test = int(frac_test * n_years)
+        if (frac_valid > 0 and n_valid == 0) or (frac_test > 0 and n_test == 0):
+            # the reference silently produces an empty split here, which
+            # surfaces much later as all-NaN RPSS; fail at the source
+            raise ValueError(
+                f"{n_years} unique years with frac_valid={frac_valid}, "
+                f"frac_test={frac_test} gives an empty val/test split")
         va.append(shuffled[:n_valid])
         te.append(shuffled[n_valid:n_valid + n_test])
         tr.append(shuffled[n_valid + n_test:])

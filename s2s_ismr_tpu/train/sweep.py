@@ -1,0 +1,204 @@
+"""The tuning sweep: the reference's nested Python loops collapsed into a
+handful of vmapped XLA programs.
+
+Reference behavior (training.py:72-117): per CV fold, iterate
+itertools.product(batch_sizes, learning_rates, ct_kernels, n_filters,
+n_blocks); each trial rebuilds the U-Net, fits with checkpoint/early-stop,
+and the trial with the lowest (best-epoch) val_loss wins the fold —
+*first* winner in product order on ties.
+
+TPU-first mapping:
+  * static hparams (ct_kernel, n_filters, n_blocks => param shapes;
+    batch_size => batch structure) bucket trials into one compiled program
+    per bucket;
+  * dynamic hparams (learning rate) and the CV fold axis become vmap lanes
+    inside each bucket — folds x lrs train simultaneously on the MXU;
+  * winner selection replays the reference's product order exactly.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import UNet, UNetConfig
+from .engine import TrainSettings, predict, train_fold
+
+
+@dataclass(frozen=True)
+class TuningGrid:
+    """Mirrors the reference tuning_grid dict (tune_ECMWF_com.py:91-92)."""
+    n_blocks: Sequence[int] = (3,)
+    n_filters: Sequence[int] = (2, 3)
+    ct_kernels: Sequence[Tuple[int, int]] = ((2, 2), (3, 3), (5, 5))
+    batch_sizes: Sequence[int] = (16, 32)
+    learning_rates: Sequence[float] = (1e-3, 1e-4)
+    patience: int = 15
+
+
+@dataclass(frozen=True)
+class Trial:
+    index: int                   # position in the reference's product order
+    batch_size: int
+    lr: float
+    ct_kernel: Tuple[int, int]
+    filters: int
+    n_blocks: int
+
+    def bucket_key(self):
+        return (self.batch_size, self.ct_kernel, self.filters, self.n_blocks)
+
+    def hparams(self):
+        return {"batch_size": self.batch_size, "lr": self.lr,
+                "ct_kernel": self.ct_kernel, "filters": self.filters,
+                "blocks": self.n_blocks}
+
+
+def enumerate_trials(grid: TuningGrid) -> List[Trial]:
+    """Exact reference iteration order (training.py:87)."""
+    out = []
+    for i, (bs, lr, kern, filt, blocks) in enumerate(itertools.product(
+            grid.batch_sizes, grid.learning_rates, grid.ct_kernels,
+            grid.n_filters, grid.n_blocks)):
+        out.append(Trial(i, bs, lr, tuple(kern), filt, blocks))
+    return out
+
+
+def bucket_trials(trials: List[Trial]) -> Dict[tuple, List[Trial]]:
+    buckets: Dict[tuple, List[Trial]] = {}
+    for t in trials:
+        buckets.setdefault(t.bucket_key(), []).append(t)
+    return buckets
+
+
+@dataclass
+class SweepResult:
+    """Per-fold winners + the full val-loss table for diagnostics."""
+    best_val_loss: np.ndarray            # (F,)
+    best_trial: List[Trial]              # per fold
+    predictions: np.ndarray              # (F, T, H, W, 3) winner eval-mode preds
+    val_loss_table: np.ndarray           # (F, n_trials) in product order
+    winner_variables: List[Any]          # per fold: flax variables (host)
+    winner_configs: List[UNetConfig]     # per fold
+
+
+def _lane_keys(base_seed, fold_idx, trial_idx):
+    """Deterministic per-(fold, trial) PRNG, standing in for the reference's
+    reset_random_seeds() + sequential Keras init draws (training.py:43)."""
+    k = jax.random.key(base_seed)
+    k = jax.random.fold_in(k, fold_idx)
+    return jax.random.fold_in(k, trial_idx)
+
+
+def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
+                   grid: TuningGrid, epochs: int = 100, base_seed: int = 42,
+                   apool: bool = True, bn: bool = True,
+                   model_factory: Callable[[Trial], Any] | None = None,
+                   donate: bool = True, verbose: bool = False) -> SweepResult:
+    """Run the full tuning sweep.
+
+    x:            (T, H, W, C) predictor images (jnp or np)
+    y_oh_folds:   (F, T, H, W, 3) per-fold one-hot labels
+    train_masks:  (F, T) bool; val_masks: (F, T) bool
+    """
+    x = jnp.asarray(x)
+    y_oh_folds = jnp.asarray(y_oh_folds)
+    train_masks = jnp.asarray(train_masks)
+    val_masks = jnp.asarray(val_masks)
+    F = train_masks.shape[0]
+
+    trials = enumerate_trials(grid)
+    buckets = bucket_trials(trials)
+    n_trials = len(trials)
+
+    val_table = np.full((F, n_trials), np.inf, np.float32)
+    preds_by_trial: Dict[int, np.ndarray] = {}
+    vars_by_trial: Dict[int, Any] = {}
+
+    for key_, bucket in buckets.items():
+        bs, kern, filt, blocks = key_
+        if model_factory is None:
+            cfg = UNetConfig(filters=filt, n_blocks=blocks, ct_kernel=kern,
+                             apool=apool, bn=bn)
+            model = UNet(cfg)
+        else:
+            model = model_factory(bucket[0])
+            cfg = getattr(model, "config", None)
+        settings = TrainSettings(epochs=epochs, batch_size=bs,
+                                 patience=grid.patience)
+        lrs = jnp.asarray([t.lr for t in bucket], jnp.float32)
+        R = len(bucket)
+
+        def lane(y_oh, tmask, vmask, lr, key):
+            best, vloss, _ = train_fold(model, x, y_oh, tmask, vmask, lr,
+                                        key, settings)
+            return best, vloss, predict(model, best, x)
+
+        lanes = jax.jit(jax.vmap(jax.vmap(lane, in_axes=(None, None, None, 0, 0)),
+                                 in_axes=(0, 0, 0, None, 0)))
+        keys = jnp.stack([
+            jnp.stack([_lane_keys(base_seed, f, t.index) for t in bucket])
+            for f in range(F)])
+        best_vars, vloss, preds = lanes(y_oh_folds, train_masks, val_masks,
+                                        lrs, keys)
+        vloss = np.asarray(vloss)            # (F, R)
+        preds = np.asarray(preds)            # (F, R, T, H, W, 3)
+        if verbose:
+            print(f"bucket bs={bs} kern={kern} filt={filt} blocks={blocks}: "
+                  f"val_loss min={vloss.min():.4f}")
+        for r, t in enumerate(bucket):
+            val_table[:, t.index] = vloss[:, r]
+            preds_by_trial[t.index] = preds[:, r]
+            vars_by_trial[t.index] = jax.tree.map(
+                lambda a, rr=r: np.asarray(a[:, rr]), best_vars)
+
+    # winner per fold: first strict minimum in product order (reference
+    # tie-break via `<`, training.py:108)
+    best_idx = np.argmin(val_table, axis=1)  # argmin returns first min
+    best_trials = [trials[i] for i in best_idx]
+    predictions = np.stack([preds_by_trial[best_idx[f]][f] for f in range(F)])
+    winner_vars = [jax.tree.map(lambda a, f=f: a[f],
+                                vars_by_trial[best_idx[f]])
+                   for f in range(F)]
+    winner_cfgs = [UNetConfig(filters=t.filters, n_blocks=t.n_blocks,
+                              ct_kernel=t.ct_kernel, apool=apool, bn=bn)
+                   for t in best_trials]
+    return SweepResult(
+        best_val_loss=val_table[np.arange(F), best_idx],
+        best_trial=best_trials,
+        predictions=predictions,
+        val_loss_table=val_table,
+        winner_variables=winner_vars,
+        winner_configs=winner_cfgs,
+    )
+
+
+def run_fixed_training(model, x, y_oh_folds, train_masks, val_masks,
+                       lr: float = 1e-3, batch_size: int = 16,
+                       epochs: int = 100, patience: int = 10,
+                       base_seed: int = 42):
+    """training_type='train' path (training.py:119-125): one configuration,
+    all folds vmapped. Returns (val_loss (F,), predictions (F,T,H,W,3),
+    variables list)."""
+    x = jnp.asarray(x)
+    settings = TrainSettings(epochs=epochs, batch_size=batch_size,
+                             patience=patience)
+    F = train_masks.shape[0]
+
+    def lane(y_oh, tmask, vmask, key):
+        best, vloss, _ = train_fold(model, x, y_oh, tmask, vmask,
+                                    jnp.float32(lr), key, settings)
+        return best, vloss, predict(model, best, x)
+
+    keys = jnp.stack([_lane_keys(base_seed, f, 0) for f in range(F)])
+    best_vars, vloss, preds = jax.jit(jax.vmap(lane))(
+        jnp.asarray(y_oh_folds), jnp.asarray(train_masks),
+        jnp.asarray(val_masks), keys)
+    var_list = [jax.tree.map(lambda a, f=f: np.asarray(a[f]), best_vars)
+                for f in range(F)]
+    return np.asarray(vloss), np.asarray(preds), var_list

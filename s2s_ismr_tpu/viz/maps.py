@@ -1,0 +1,85 @@
+"""RPSS map panels (reference plots.py:394-555, cartopy-free).
+
+The reference draws bootstrap-mean RPSS maps on a PlateCarree projection
+with India border shapefiles and mean/max/min in bold panel titles. This
+image has no cartopy, so panels are plain lat/lon pcolormesh; shapefile
+boundaries overlay when a shapes/ directory is available (pure-python
+reader in viz/regions.py — no geopandas needed).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..field import Field  # noqa: E402
+
+
+def _boundary_segments(shapes_dir):
+    if not shapes_dir:
+        return []
+    segs = []
+    try:
+        from .regions import read_shapefile
+        for name in ("indian_borders.shp", "sd_boundary.shp"):
+            p = os.path.join(shapes_dir, name)
+            if os.path.exists(p):
+                for poly in read_shapefile(p):
+                    segs.extend(poly.rings)
+    except Exception:
+        pass
+    return segs
+
+
+def plot_rpss_panels(panels, lats, lons, outdir, fname, mask=None,
+                     vmin=-0.2, vmax=0.2, cmap="bwr", shapes_dir=None,
+                     dpi=150):
+    """panels: dict title -> Field (bootstrap, Y, X). Draws the bootstrap
+    mean per panel with the reference's mean/max/min title convention
+    (plots.py:440-441,526-528). Returns {fname: path}."""
+    os.makedirs(outdir, exist_ok=True)
+    n = len(panels)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4), squeeze=False)
+    segs = _boundary_segments(shapes_dir)
+    for ax, (title, fld) in zip(axes[0], panels.items()):
+        m = fld.mean("bootstrap") if "bootstrap" in fld.dims else fld
+        vals = m.values
+        if mask is not None:
+            vals = np.where(mask, np.nan, vals)
+        pm = ax.pcolormesh(lons, lats, vals, vmin=vmin, vmax=vmax, cmap=cmap,
+                           shading="nearest")
+        for ring in segs:
+            ax.plot(ring[:, 0], ring[:, 1], color="k", lw=0.5)
+        with np.errstate(all="ignore"):
+            ax.set_title(f"{title}:\n mean:{np.nanmean(vals):.2f}, "
+                         f"max:{np.nanmax(vals):.2f}, "
+                         f"min: {np.nanmin(vals):.2f}",
+                         fontweight="bold", fontsize=10)
+        ax.set_xlabel("Longitude")
+        ax.set_ylabel("Latitude")
+        fig.colorbar(pm, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    path = os.path.join(outdir, f"{fname}.png")
+    fig.savefig(path, dpi=dpi)
+    plt.close(fig)
+    return {fname: path}
+
+
+def plot_skill_map(values, lats, lons, path, title="", levels=None,
+                   vmin=-0.6, vmax=0.6, cmap="RdBu_r", dpi=150):
+    """Single CC/ACC-style map (ACCs.ipynb cells 13/25/38 look)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    pm = ax.pcolormesh(lons, lats, values, vmin=vmin, vmax=vmax, cmap=cmap,
+                       shading="nearest")
+    ax.set_title(title)
+    fig.colorbar(pm, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=dpi)
+    plt.close(fig)
+    return path

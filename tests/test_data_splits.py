@@ -9,7 +9,7 @@ from s2s_ismr_tpu.train import splits
 
 @pytest.fixture(scope="module")
 def bundle():
-    return synthetic.synthetic_hindcast(years=(2003, 2010), seed=1,
+    return synthetic.synthetic_hindcast(years=(2003, 2012), seed=1,
                                         domain=Domain(67, 98, 7, 38), step=2.0)
 
 

@@ -1,0 +1,124 @@
+"""Training-engine behavior tests: learning, best-val selection with
+early-stop parity, padded-batch gating, lane vmapping."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2s_ismr_tpu import timeutils
+from s2s_ismr_tpu.data import synthetic
+from s2s_ismr_tpu.grid import Domain
+from s2s_ismr_tpu.models import UNet, UNetConfig
+from s2s_ismr_tpu.ops import terciles
+from s2s_ismr_tpu.train import splits
+from s2s_ismr_tpu.train.engine import TrainSettings, train_fold, predict
+from s2s_ismr_tpu.train.losses import categorical_crossentropy
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b = synthetic.synthetic_hindcast(years=(2003, 2012), seed=9, signal=0.8,
+                                     domain=Domain(67, 98, 7, 38), step=2.0)
+    b = b.fillna(0.0)
+    fm = splits.bootstrap_masks(b.years, n_bootstraps=3)
+    wm = timeutils.week_window_matrix(1)
+    labels, _, _ = terciles.fit_and_label(b.y, b.weeks, fm.train[0], wm, None)
+    y_oh = terciles.one_hot_labels(labels)
+    x = jnp.asarray(b.ensemble_mean()[..., None])
+    return b, fm, x, jnp.nan_to_num(y_oh, nan=0.0)
+
+
+SMALL = UNetConfig(filters=1, n_blocks=2)
+FAST = TrainSettings(epochs=12, batch_size=16, patience=12)
+
+
+def test_loss_matches_keras_reduction():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(0)
+    p = rng.dirichlet(np.ones(3), size=(6, 4, 4)).astype(np.float32)
+    oh = np.eye(3, dtype=np.float32)[rng.integers(0, 3, (6, 4, 4))]
+    ours = float(categorical_crossentropy(jnp.asarray(p), jnp.asarray(oh)))
+    keras_val = float(tf.reduce_mean(
+        tf.keras.losses.categorical_crossentropy(oh, p)))
+    np.testing.assert_allclose(ours, keras_val, rtol=1e-5)
+
+
+def test_training_learns(setup):
+    b, fm, x, y_oh = setup
+    model = UNet(SMALL)
+    best, best_vloss, hist = jax.jit(
+        lambda: train_fold(model, x, y_oh, jnp.asarray(fm.train[0]),
+                           jnp.asarray(fm.val[0]), 1e-3,
+                           jax.random.key(42), FAST))()
+    hist = np.asarray(hist)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0] * 1.02          # val loss does not blow up
+    assert float(best_vloss) <= hist.min() + 1e-6
+    # best weights reproduce the best val loss
+    out = predict(model, best, x)
+    w = jnp.asarray(fm.val[0], jnp.float32)
+    vloss = float(categorical_crossentropy(out, y_oh, w))
+    np.testing.assert_allclose(vloss, float(best_vloss), rtol=1e-5)
+    # the model beat climatology CE on validation
+    climo = jnp.full_like(out, 1 / 3)
+    assert vloss < float(categorical_crossentropy(climo, y_oh, w)) + 0.05
+
+
+def test_early_stop_freezes_after_patience(setup):
+    b, fm, x, y_oh = setup
+    model = UNet(SMALL)
+    st = TrainSettings(epochs=12, batch_size=16, patience=2)
+    best, best_vloss, hist = train_fold(
+        model, x, y_oh, jnp.asarray(fm.train[0]), jnp.asarray(fm.val[0]),
+        1e-3, jax.random.key(0), st)
+    hist = np.asarray(hist)
+    # replicate the callback bookkeeping in numpy
+    bv, wait, stopped = np.inf, 0, False
+    for v in hist:
+        if stopped:
+            continue
+        if v < bv:
+            bv, wait = v, 0
+        else:
+            wait += 1
+            stopped = wait >= st.patience
+    np.testing.assert_allclose(float(best_vloss), bv, rtol=1e-6)
+
+
+def test_empty_train_mask_is_noop(setup):
+    b, fm, x, y_oh = setup
+    model = UNet(SMALL)
+    st = TrainSettings(epochs=2, batch_size=16, patience=5)
+    none = jnp.zeros(x.shape[0], bool)
+    init = model.init(jax.random.key(7), x[:1], train=False)
+    best, best_vloss, _ = train_fold(model, x, y_oh, none,
+                                     jnp.asarray(fm.val[0]), 1e-3,
+                                     jax.random.key(1), st,
+                                     init_variables=init)
+    for a, b_ in zip(jax.tree.leaves(init["params"]),
+                     jax.tree.leaves(best["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert np.isfinite(float(best_vloss))
+
+
+def test_vmapped_lanes(setup):
+    b, fm, x, y_oh = setup
+    model = UNet(SMALL)
+    st = TrainSettings(epochs=3, batch_size=16, patience=3)
+
+    def lane(train_m, val_m, lr, key):
+        best, vloss, _ = train_fold(model, x, y_oh, train_m, val_m, lr, key, st)
+        return vloss, predict(model, best, x)
+
+    lanes = jax.jit(jax.vmap(lane))
+    n = 3
+    vloss, preds = lanes(jnp.asarray(fm.train), jnp.asarray(fm.val),
+                         jnp.array([1e-3, 1e-3, 1e-4]),
+                         jax.random.split(jax.random.key(5), n))
+    assert vloss.shape == (n,)
+    assert preds.shape == (n,) + x.shape[:-1] + (3,)
+    assert np.isfinite(np.asarray(vloss)).all()
+    assert np.isfinite(np.asarray(preds)).all()
+    np.testing.assert_allclose(np.asarray(preds.sum(-1)), 1.0, atol=1e-4)

@@ -1,0 +1,66 @@
+"""Sweep tests: bucketing, product-order parity, winner selection."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from s2s_ismr_tpu import timeutils
+from s2s_ismr_tpu.data import synthetic
+from s2s_ismr_tpu.grid import Domain
+from s2s_ismr_tpu.ops import terciles
+from s2s_ismr_tpu.train import splits
+from s2s_ismr_tpu.train.sweep import (TuningGrid, bucket_trials,
+                                      enumerate_trials, run_unet_sweep)
+
+
+def test_product_order_matches_reference():
+    import itertools
+    grid = TuningGrid(n_blocks=[3], n_filters=[2, 3],
+                      ct_kernels=[(2, 2), (3, 3), (5, 5)],
+                      batch_sizes=[16, 32], learning_rates=[1e-3, 1e-4])
+    trials = enumerate_trials(grid)
+    assert len(trials) == 24
+    ref = list(itertools.product([16, 32], [1e-3, 1e-4],
+                                 [(2, 2), (3, 3), (5, 5)], [2, 3], [3]))
+    for t, (bs, lr, k, f, b) in zip(trials, ref):
+        assert (t.batch_size, t.lr, t.ct_kernel, t.filters, t.n_blocks) == \
+            (bs, lr, k, f, b)
+    buckets = bucket_trials(trials)
+    assert len(buckets) == 12            # 2 bs x 3 kern x 2 filt
+    assert all(len(v) == 2 for v in buckets.values())  # 2 lrs per bucket
+
+
+@pytest.mark.slow
+def test_small_sweep_end_to_end():
+    b = synthetic.synthetic_hindcast(years=(2003, 2012), seed=11, signal=0.8,
+                                     domain=Domain(67, 98, 7, 38), step=2.0)
+    b = b.fillna(0.0)
+    fm = splits.bootstrap_masks(b.years, n_bootstraps=2)
+    wm = timeutils.week_window_matrix(1)
+    lab_folds = jax.vmap(
+        lambda pm: terciles.fit_and_label(b.y, b.weeks, pm, wm, None)[0]
+    )(jnp.asarray(fm.train))
+    y_oh = jnp.nan_to_num(terciles.one_hot_labels(lab_folds), nan=0.0)
+    x = jnp.asarray(b.ensemble_mean()[..., None])
+
+    grid = TuningGrid(n_blocks=[2], n_filters=[1], ct_kernels=[(2, 2), (3, 3)],
+                      batch_sizes=[16], learning_rates=[1e-3, 1e-4], patience=4)
+    res = run_unet_sweep(x, y_oh, fm.train, fm.val, grid, epochs=4)
+
+    F, n_trials = 2, 4
+    assert res.val_loss_table.shape == (F, n_trials)
+    assert np.isfinite(res.val_loss_table).all()
+    assert res.predictions.shape == (F,) + x.shape[:-1] + (3,)
+    np.testing.assert_allclose(res.predictions.sum(-1), 1.0, atol=1e-4)
+    # winner really is the row-wise first minimum
+    for f in range(F):
+        assert res.best_trial[f].index == int(np.argmin(res.val_loss_table[f]))
+        np.testing.assert_allclose(res.best_val_loss[f],
+                                   res.val_loss_table[f].min())
+    # winner variables have the winning architecture's shapes
+    for f in range(F):
+        cfg = res.winner_configs[f]
+        k = cfg.ct_kernel
+        kern = res.winner_variables[f]["params"]["up1_convT"]["kernel"]
+        assert kern.shape[:2] == k
