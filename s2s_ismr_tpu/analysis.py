@@ -1,0 +1,158 @@
+"""Skill analysis: CC/ACC maps and RPSS aggregation — the programmatic
+equivalents of the reference's ACCs.ipynb and Bar_plot.ipynb.
+
+ACCs.ipynb (40 cells): per model and lead week, ensemble-mean climatology
+maps, CC = corr(x, y) over T, ACC = corr of per-ISO-week anomalies — with
+the GEFS variant using an external lead-dependent climatology (dc0018)
+instead of the sample mean (cell 38).
+
+Bar_plot.ipynb (21 cells): loads outputs/**/{ELR,unet}_rpss_test_*.nc,
+builds NaN masks from the ELR maps, boxplots pixel-wise RPSS by
+lead/model/architecture, and aggregates per homogeneous climate region by
+rasterizing the met-subdivision shapefile.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .data.bundle import DataBundle
+from .field import Field
+from .io import read_netcdf
+from .ops import metrics
+
+
+# ------------------------------------------------------------- ACC/CC maps
+@dataclass
+class SkillMaps:
+    cc: np.ndarray                # (Y, X)
+    acc: np.ndarray               # (Y, X)
+    climatology: np.ndarray       # (Y, X) mean mm/day of the obs
+    lats: np.ndarray
+    lons: np.ndarray
+
+
+def compute_skill_maps(bundle: DataBundle, external_clim=None) -> SkillMaps:
+    """CC/ACC for one (model, lead) dataset (ACCs.ipynb cells 13/25/38).
+
+    external_clim: optional (53, Y, X) or (T, Y, X) model climatology
+    (the GEFS dc0018 path); default anomalies use the sample weekly mean.
+    """
+    xm = bundle.ensemble_mean()
+    cc = np.asarray(metrics.masked_corr(xm, bundle.y))
+    acc = np.asarray(metrics.anomaly_cc(xm, bundle.y, bundle.weeks,
+                                        x_clim=external_clim))
+    clim = np.nanmean(bundle.y, axis=0)
+    return SkillMaps(cc=cc, acc=acc, climatology=clim,
+                     lats=bundle.lats, lons=bundle.lons)
+
+
+def weekly_lead_sweep(make_bundle, leads: Dict[str, tuple]) \
+        -> Dict[str, SkillMaps]:
+    """Run compute_skill_maps across lead windows (the notebook's wk1..wk4
+    & wk3-4 sweep, cells 4-8). make_bundle(lead) -> DataBundle."""
+    return {wk: compute_skill_maps(make_bundle(lead))
+            for wk, lead in leads.items()}
+
+
+# ------------------------------------------------------- RPSS aggregation
+@dataclass
+class RpssTable:
+    """Long-form pixel-wise RPSS records for boxplots."""
+    values: np.ndarray            # (n,)
+    lead: np.ndarray              # (n,) str
+    model: np.ndarray             # (n,) str
+    arch: np.ndarray              # (n,) str
+    region: np.ndarray            # (n,) str
+
+
+def load_rpss(outputs_root, period_dir, model, obs, arch, week) -> Field:
+    """Read one outputs/**/{arch}_rpss_test_{week}.nc artifact
+    (Bar_plot.ipynb cell 5 pathing)."""
+    path = os.path.join(outputs_root, "outputs", period_dir,
+                        f"{model}_{obs}", f"{arch}_rpss_test_{week}.nc")
+    return read_netcdf(path)
+
+
+def elr_nan_mask(outputs_root, period_dir, model, obs, week) -> np.ndarray:
+    """NaN mask derived from the ELR maps (Bar_plot.ipynb cell 3)."""
+    f = load_rpss(outputs_root, period_dir, model, obs, "ELR", week)
+    m = f.mean("bootstrap") if "bootstrap" in f.dims else f
+    return np.isnan(m.values)
+
+
+def rpss_records(runs, outputs_root, region_masks=None,
+                 region_names=None) -> RpssTable:
+    """Collect pixel-wise bootstrap-mean RPSS for boxplotting.
+
+    runs: iterable of dicts with keys period_dir/model/obs/arch/week/label.
+    region_masks: optional (R, Y, X) bool; pixels falling in no region get
+    region='All'.
+    """
+    vals, leads, models_, archs, regions = [], [], [], [], []
+    for run in runs:
+        f = load_rpss(outputs_root, run["period_dir"], run["model"],
+                      run["obs"], run["arch"], run["week"])
+        m = f.mean("bootstrap") if "bootstrap" in f.dims else f
+        v = m.values
+        mask = elr_nan_mask(outputs_root, run["period_dir"], run["model"],
+                            run["obs"], run["week"])
+        v = np.where(mask, np.nan, v)
+        ok = np.isfinite(v)
+        if region_masks is None:
+            sel = [("All", ok)]
+        else:
+            sel = [(region_names[r], ok & region_masks[r])
+                   for r in range(len(region_masks))]
+        for rname, rm in sel:
+            vv = v[rm]
+            vals.append(vv)
+            leads.append(np.full(vv.shape, run.get("label", run["week"])))
+            models_.append(np.full(vv.shape, run["model"]))
+            archs.append(np.full(vv.shape, run["arch"]))
+            regions.append(np.full(vv.shape, rname))
+    cat = lambda xs: np.concatenate(xs) if xs else np.array([])
+    return RpssTable(values=cat(vals), lead=cat(leads), model=cat(models_),
+                     arch=cat(archs), region=cat(regions))
+
+
+def rpss_boxplot(table: RpssTable, path, by="lead", hue="arch",
+                 ylim=(-0.2, 0.5), percent=True, dpi=150):
+    """Boxplots of pixel-wise RPSS (Bar_plot.ipynb cells 7/9/10/16/19)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    import seaborn as sns
+
+    df = pd.DataFrame({"RPSS": table.values * (100.0 if percent else 1.0),
+                       "lead": table.lead, "model": table.model,
+                       "arch": table.arch, "region": table.region})
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    sns.boxplot(data=df, x=by, y="RPSS", hue=hue, ax=ax, fliersize=1)
+    scale = 100.0 if percent else 1.0
+    ax.set_ylim(ylim[0] * scale, ylim[1] * scale)
+    ax.axhline(0, color="k", lw=0.5)
+    ax.set_ylabel("RPSS (%)" if percent else "RPSS")
+    fig.tight_layout()
+    fig.savefig(path, dpi=dpi)
+    plt.close(fig)
+    return path
+
+
+def region_rpss(outputs_root, shapefile_path, runs, lats, lons,
+                region_names: Optional[Sequence[str]] = None):
+    """Homogeneous-climate-region aggregation (Bar_plot.ipynb cells 12-19):
+    rasterize the subdivision shapefile onto the data grid and build the
+    per-region RPSS table."""
+    from .viz.regions import region_masks as rasterize_regions
+    masks = rasterize_regions(shapefile_path, lats, lons)
+    names = list(region_names) if region_names else \
+        [f"region{i}" for i in range(len(masks))]
+    return rpss_records(runs, outputs_root, region_masks=masks,
+                        region_names=names)

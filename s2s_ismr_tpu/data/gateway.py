@@ -1,0 +1,258 @@
+"""The host-side data gateway: fetch, cache, decode, pack.
+
+Mirrors the reference acquisition layer (dataloader.py:95-330) with the
+same external contract — cookie-authenticated curl against IRIDL, a
+download/{model}_{obs}/ cache, per-model ensemble assembly — but packs
+straight into DataBundles (dense arrays + masks) instead of xarray.
+
+Assembly semantics reproduced:
+  * IITM = 6 sub-model fetches concatenated along the ensemble axis M
+    (dataloader.py:178-215);
+  * ECMWF = perturbed + control streams concatenated along M, the
+    control member tagged M=11 (dataloader.py:217-257);
+  * non-ECMWF sources re-stamp time as T = S + (lead_start+lead_end)/2
+    days (dataloader.py:214,277);
+  * x and y must agree on T exactly (assert, dataloader.py:295).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+
+import numpy as np
+import pandas as pd
+
+from .. import timeutils
+from ..field import Field
+from . import iridl
+from .bundle import DataBundle
+
+LEAD_MAPPING = {"wk1": (2, 8), "wk2": (9, 15), "wk3-4": (16, 29)}
+
+
+# --------------------------------------------------------------- CF decoding
+_UNITS_RE = re.compile(r"(\w+)\s+since\s+(.+)")
+
+
+def decode_cf_time(values, units):
+    m = _UNITS_RE.match(units.strip())
+    if not m:
+        raise ValueError(f"unsupported time units {units!r}")
+    step, origin = m.group(1).lower(), m.group(2).strip()
+    origin = pd.Timestamp(origin.split(" ")[0])
+    vals = np.asarray(values, float)
+    if step in ("day", "days"):
+        delta = vals * 86400e9
+    elif step in ("hour", "hours"):
+        delta = vals * 3600e9
+    elif step in ("week", "weeks"):
+        delta = vals * 7 * 86400e9
+    elif step in ("month", "months"):
+        # IRIDL monthly grids use 30-day-ish pseudo-months; approximate
+        delta = vals * 30.4375 * 86400e9
+    else:
+        raise ValueError(f"unsupported time step {step!r}")
+    return (np.datetime64(origin, "ns")
+            + delta.astype("timedelta64[ns]"))
+
+
+def open_netcdf_da(path, var_names=("prcp", "temp", "pr", "aprod")):
+    """Decode one IRIDL download into a Field with datetime T/S coords."""
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        name = next((v for v in var_names if v in f.variables), None)
+        if name is None:
+            cands = [k for k in f.variables if k not in f.dimensions]
+            if not cands:
+                raise ValueError(f"{path}: no data variable")
+            name = cands[0]
+        var = f.variables[name]
+        vals = np.array(var[:], np.float32).copy()
+        miss = getattr(var, "missing_value", None)
+        if miss is not None:
+            vals = np.where(vals == np.float32(miss), np.nan, vals)
+        dims = tuple(var.dimensions)
+        coords = {}
+        for d in dims:
+            if d not in f.variables:
+                continue
+            cv = f.variables[d]
+            units = getattr(cv, "units", b"")
+            units = units.decode() if isinstance(units, bytes) else units
+            raw = np.array(cv[:]).copy()
+            if "since" in units:
+                coords[d] = decode_cf_time(raw, units)
+            else:
+                coords[d] = raw.astype(float)
+        return Field(vals, dims, coords, name)
+
+
+# ------------------------------------------------------------------ fetching
+def fetch(url, fname, download=True, cookies="cookies.txt", log=print):
+    os.makedirs(os.path.dirname(fname) or ".", exist_ok=True)
+    if download:
+        log(f"Downloading: {url.replace('data.nc', '')}")
+        rc = subprocess.call(["curl", "-b", cookies, "-k", url, "-o", fname])
+        if rc != 0:
+            raise RuntimeError(f"curl failed (rc={rc}) for {url}")
+    if not os.path.exists(fname):
+        raise FileNotFoundError(
+            f"{fname} not cached; run with download=True first")
+    return fname
+
+
+def _cache_path(cache_dir, model, obs, name, years):
+    group = "IITM" if "IITM" in model else ("ECMWF" if "ECMWF" in model
+                                            else model)
+    return os.path.join(cache_dir, f"{group}_{obs}",
+                        f"{name}_{years[0]}-{years[1]}.nc")
+
+
+# ------------------------------------------------------------- public API
+def get_data(years, download, week, model, obs, domain, season,
+             regrid=None, custom_lead=None, cache_dir="download",
+             cookies="cookies.txt", log=print):
+    """Hindcast x (T,M,Y,X) + aligned obs y (T,Y,X) as Fields."""
+    lead = custom_lead or LEAD_MAPPING[week]
+
+    def fetch_one(source_key, name, url_fn):
+        url = url_fn(source_key)
+        fname = _cache_path(cache_dir, source_key, obs, name, years)
+        fetch(url, fname, download, cookies, log)
+        return open_netcdf_da(fname)
+
+    def hc_url(key):
+        return iridl.hindcast_url(key, years, lead, season, domain, regrid)
+
+    def pd_url(key):
+        return iridl.predictand_url(key, obs, years, lead, season, domain,
+                                    regrid)
+
+    if model == "IITM":
+        members = [fetch_one(k, f"{k}_{week}", hc_url)
+                   for k in iridl.IITM_MEMBERS]
+        y = fetch_one(iridl.IITM_MEMBERS[0], f"IITM_{obs}_{week}", pd_url)
+        x = _concat_members(members)
+        x = _stamp_midlead_time(x, lead)
+    elif model == "ECMWF":
+        streams = []
+        for k in iridl.ECMWF_STREAMS:
+            da = fetch_one(k, f"{k}_{week}", hc_url)
+            if "M" not in da.dims:   # control: single member tagged M=11
+                da = Field(da.values[:, None], (da.dims[0], "M") + da.dims[1:],
+                           {**da.coords, "M": np.array([11.0])}, da.name)
+            streams.append(da)
+        y = fetch_one(iridl.ECMWF_STREAMS[0], f"ECMWF_{obs}_{week}", pd_url)
+        x = _concat_members(streams)
+    else:
+        x = fetch_one(model, f"{model}_{week}", hc_url)
+        y = fetch_one(model, f"{model}_{obs}_{week}", pd_url)
+        x = _stamp_midlead_time(x, lead)
+
+    tx = x.coords.get("T")
+    ty = y.coords.get("T")
+    if tx is None or ty is None or len(tx) != len(ty) or \
+            not (timeutils.to_datetime64(tx) == timeutils.to_datetime64(ty)).all():
+        raise AssertionError("Mismatch in time dimensions between x and y.")
+    x = x.transpose("T", "M", "Y", "X")
+    y = y.transpose("T", "Y", "X") if y.ndim == 3 else y
+    return x, y
+
+
+def _concat_members(fields):
+    """Concatenate along M (create it if missing), aligned on first dims."""
+    parts = []
+    m_coords = []
+    for f in fields:
+        if "M" not in f.dims:
+            f = Field(f.values[:, None], (f.dims[0], "M") + f.dims[1:],
+                      {**f.coords, "M": np.array([0.0])}, f.name)
+        order = (f.dims[0], "M") + tuple(d for d in f.dims
+                                         if d not in (f.dims[0], "M"))
+        f = f.transpose(*order)
+        parts.append(f.values)
+        m_coords.append(f.coords.get("M", np.arange(f.values.shape[1])))
+    vals = np.concatenate(parts, axis=1)
+    first = fields[0]
+    lead_dim = first.dims[0]
+    dims = (lead_dim, "M") + tuple(d for d in first.dims
+                                   if d not in (lead_dim, "M"))
+    coords = {k: v for k, v in first.coords.items() if k != "M"}
+    coords["M"] = np.concatenate([np.asarray(c, float) for c in m_coords])
+    return Field(vals, dims, coords, first.name)
+
+
+def _stamp_midlead_time(x, lead):
+    """T = S + mean(lead) days, then S becomes T (dataloader.py:214,277)."""
+    if "T" in x.dims:
+        return x
+    s = timeutils.to_datetime64(x.coords["S"])
+    t = s + np.timedelta64(int(round((lead[0] + lead[1]) / 2)), "D")
+    dims = tuple("T" if d == "S" else d for d in x.dims)
+    coords = {("T" if k == "S" else k): v for k, v in x.coords.items()}
+    coords["T"] = t
+    return Field(x.values, dims, coords, x.name)
+
+
+def get_data_ensemble(years, download, week, models, obs, domain, season,
+                      regrid=1, custom_leads=None, custom_seasons=None,
+                      **kw):
+    """Dict-of-models fetch (dataloader.py:300-330)."""
+    xs, ys = {}, {}
+    for model in models:
+        lead = custom_leads.get(model) if custom_leads else None
+        sea = custom_seasons.get(model) if custom_seasons else season
+        x, y = get_data(years=years, download=download, week=week,
+                        model=model, obs=obs, domain=domain, season=sea,
+                        regrid=regrid, custom_lead=lead, **kw)
+        xs[model], ys[model] = x, y
+    return xs, ys
+
+
+def download_forecast(model, obs, day, month, year, domain, week,
+                      out_dir="", download=True, regrid=None,
+                      custom_lead=None, cache_dir="download",
+                      cookies="cookies.txt", log=print):
+    """Realtime forecast fetch (dataloader.py:338-430)."""
+    lead = custom_lead or LEAD_MAPPING[week]
+
+    def one(key):
+        url = iridl.forecast_url(key, day, month, year, lead, domain, regrid)
+        fname = os.path.join(cache_dir, out_dir, f"{model}_{obs}",
+                             f"forecast_{day}_{month}_{year}.nc")
+        fetch(url, fname, download, cookies, log)
+        return open_netcdf_da(fname)
+
+    if model == "IITM":
+        x = _concat_members([one(k) for k in iridl.IITM_MEMBERS])
+    else:
+        x = one(model)
+    return _stamp_midlead_time(x, lead)
+
+
+def get_obs(model, obs, domain, week, years, season, out_dir="",
+            download=True, regrid=None, cache_dir="download",
+            cookies="cookies.txt", log=print):
+    """Realtime observations on the model grid, season/year filtered
+    (dataloader.py:433-495)."""
+    url = iridl.obs_url(model, obs, LEAD_MAPPING[week], domain, regrid)
+    fname = os.path.join(cache_dir, out_dir, f"{model}_{obs}",
+                         f"{obs}_{week}.nc")
+    fetch(url, fname, download, cookies, log)
+    y = open_netcdf_da(fname)
+    t = timeutils.to_datetime64(y.coords["T"])
+    months = timeutils.month(t)
+    sm = timeutils.season_months(season)
+    # the reference widens the season window by one month at the end
+    # (dataloader.py:486-487: end_month+1 then range(...end+1))
+    keep = np.isin(months, sm + [sm[-1] + 1])
+    keep &= (timeutils.year(t) >= years[0]) & (timeutils.year(t) <= years[1])
+    return y.isel(T=np.where(keep)[0])
+
+
+def to_bundle(x: Field, y: Field, name="") -> DataBundle:
+    return DataBundle(x=x.values, y=y.values, t=x.coords["T"],
+                      lats=np.asarray(x.coords.get("Y")),
+                      lons=np.asarray(x.coords.get("X")), name=name)

@@ -49,7 +49,8 @@ class UNet(nn.Module):
     config: UNetConfig = field(default_factory=UNetConfig)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, sample_weight=None):
+    def __call__(self, x, train: bool = False, sample_weight=None,
+                 bottleneck_delta=None):
         cfg = self.config
         pool = avg_pool2 if cfg.apool else max_pool2
         drop = (lambda v: nn.Dropout(cfg.dropout_rate, deterministic=not train)(v)) \
@@ -77,7 +78,11 @@ class UNet(nn.Module):
         h = elu(Conv2D(wb, name="bottleneck_conv1")(h))
         h = elu(Conv2D(wb, name="bottleneck_conv2")(h))
         h = bn(h, "bottleneck_bn")
-        self.sow("intermediates", "bottleneck", h)   # GradCAM hook
+        if bottleneck_delta is not None:
+            # GradCAM tap: grads w.r.t. this zero perturbation are grads
+            # w.r.t. the bottleneck activations (attrib.py)
+            h = h + bottleneck_delta
+        self.sow("intermediates", "bottleneck", h)
 
         # decoder (last block k=1 has no BN before softmax)
         for k in range(cfg.n_blocks, 0, -1):

@@ -1,0 +1,94 @@
+"""Checkpointing: persist per-fold winner models + sweep state.
+
+The reference saves full Keras models per trial via ModelCheckpoint and
+then DELETES them all at the end of the run (training.py:98-115,
+tune_ECMWF_com.py:183-186) — only RPSS netcdfs survive. Here winners are
+kept as msgpack param pytrees + a JSON manifest (config, hparams, input
+shape), enabling the 'load' training_type (training.py:127-131), realtime
+prediction and GradCAM without retraining. Orbax is used when available
+for directory checkpoints; the msgpack path has no extra dependencies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..models import UNet, UNetConfig
+
+
+def save_variables(variables, path):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    return path
+
+
+def load_variables(path, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_sweep_winners(sweep_result, out_dir, week, architecture="unet",
+                       input_shape=None):
+    """Persist each fold's winning model (mirrors the reference's
+    best_model_{arch}_{i}_tuned.keras naming, training.py:115)."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = []
+    for i, (variables, trial, cfg) in enumerate(zip(
+            sweep_result.winner_variables, sweep_result.best_trial,
+            sweep_result.winner_configs)):
+        fname = f"best_model_{architecture}_{i}_tuned.msgpack"
+        save_variables(variables, os.path.join(out_dir, fname))
+        manifest.append({
+            "fold": i, "file": fname,
+            "config": dataclasses.asdict(cfg),
+            "hparams": trial.hparams(),
+            "val_loss": float(sweep_result.best_val_loss[i]),
+            "input_shape": list(input_shape) if input_shape else None,
+        })
+    mpath = os.path.join(out_dir, f"winners_{week}.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return mpath
+
+
+def load_winner(out_dir, week, fold, architecture="unet") \
+        -> Tuple[UNet, dict]:
+    """Rebuild a fold's winning model + variables from a manifest —
+    the 'load' training path (training.py:127-131)."""
+    with open(os.path.join(out_dir, f"winners_{week}.json")) as f:
+        manifest = json.load(f)
+    entry = next(e for e in manifest if e["fold"] == fold)
+    cfg_d = dict(entry["config"])
+    cfg_d["ct_kernel"] = tuple(cfg_d["ct_kernel"])
+    cfg_d["ct_stride"] = tuple(cfg_d["ct_stride"])
+    cfg = UNetConfig(**cfg_d)
+    model = UNet(cfg)
+    shape = entry["input_shape"] or [1, 32, 32, 1]
+    template = model.init(jax.random.key(0),
+                          np.zeros(shape, np.float32), train=False)
+    variables = load_variables(os.path.join(out_dir, entry["file"]), template)
+    return model, variables
+
+
+def save_orbax(variables, path):
+    """Orbax directory checkpoint (async-capable, multi-host-ready) —
+    optional fast path when orbax is importable."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), variables, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_orbax(path, template):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)

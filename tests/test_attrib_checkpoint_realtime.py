@@ -1,0 +1,162 @@
+"""Tests: GradCAM attribution, checkpoint save/load round-trip, realtime
+evaluation with MJO/ENSO composites, analysis aggregation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2s_ismr_tpu import attrib
+from s2s_ismr_tpu.models import UNet, UNetConfig
+from s2s_ismr_tpu.train import checkpoint
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = UNetConfig(filters=1, n_blocks=2)
+    model = UNet(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(3, 16, 16, 1)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    return model, variables, x, cfg
+
+
+def test_gradcam_shapes_and_range(small_model):
+    model, variables, x, _ = small_model
+    cam = np.asarray(attrib.gradcam(model, variables, x, category=2))
+    assert cam.shape == (3, 16, 16)
+    assert np.isfinite(cam).all()
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+
+def test_gradcam_region_mask(small_model):
+    model, variables, x, _ = small_model
+    region = np.zeros((16, 16), bool)
+    region[:8, :8] = True
+    cam = np.asarray(attrib.gradcam(model, variables, x, region_mask=region))
+    assert cam.shape == (3, 16, 16)
+    assert np.isfinite(cam).all()
+
+
+def test_saliency(small_model):
+    model, variables, x, _ = small_model
+    s = np.asarray(attrib.saliency(model, variables, x))
+    assert s.shape == (3, 16, 16)
+    assert (s >= 0).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, small_model):
+    model, variables, x, cfg = small_model
+    p = str(tmp_path / "w.msgpack")
+    checkpoint.save_variables(variables, p)
+    template = model.init(jax.random.key(1), x[:1], train=False)
+    loaded = checkpoint.load_variables(p, template)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out1 = model.apply(variables, x, train=False)
+    out2 = model.apply(loaded, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_sweep_winner_save_load(tmp_path, small_model):
+    model, variables, x, cfg = small_model
+    from s2s_ismr_tpu.train.sweep import SweepResult, Trial
+    trial = Trial(0, 16, 1e-3, (3, 3), cfg.filters, cfg.n_blocks)
+    res = SweepResult(best_val_loss=np.array([0.9]), best_trial=[trial],
+                      predictions=np.zeros((1, 2, 16, 16, 3)),
+                      val_loss_table=np.array([[0.9]]),
+                      winner_variables=[variables], winner_configs=[cfg])
+    mdir = str(tmp_path / "models")
+    checkpoint.save_sweep_winners(res, mdir, "wk3-4",
+                                  input_shape=(1, 16, 16, 1))
+    model2, vars2 = checkpoint.load_winner(mdir, "wk3-4", 0)
+    out1 = model.apply(variables, x, train=False)
+    out2 = model2.apply(vars2, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+    # realtime helper picks the best fold
+    from s2s_ismr_tpu.pipelines.realtime import load_winner_for_realtime
+    m3, v3 = load_winner_for_realtime(mdir, "wk3-4")
+    np.testing.assert_allclose(
+        np.asarray(m3.apply(v3, x, train=False)), np.asarray(out1), atol=1e-6)
+
+
+def test_mjo_phase_and_enso():
+    from s2s_ismr_tpu.pipelines import realtime as rt
+    # phase sweep: 8 angles around the wheel, all amplitude 2
+    ang = np.linspace(-np.pi + 1e-3, np.pi - 1e-3, 8)
+    r1, r2 = 2 * np.cos(ang), 2 * np.sin(ang)
+    phase, active = rt.mjo_phase(r1, r2)
+    assert active.all()
+    assert sorted(phase.tolist()) == list(range(1, 9))
+    _, weak = rt.mjo_phase([0.1], [0.1])
+    assert not weak[0]
+    st = rt.enso_state([1.2, 0.1, -0.9])
+    assert list(st) == ["elnino", "neutral", "lanina"]
+
+
+def test_evaluate_realtime_end_to_end(tmp_path, small_model):
+    from s2s_ismr_tpu.pipelines import realtime as rt
+    model, variables, x, cfg = small_model
+    rng = np.random.default_rng(3)
+    Th, H = 60, 16
+    hind_obs = rng.gamma(2, 2, (Th, H, H)).astype(np.float32)
+    hind_weeks = (np.arange(Th) % 20 + 18).astype(np.int32)
+    obs = rng.gamma(2, 2, (3, H, H)).astype(np.float32)
+    fweeks = np.array([20, 25, 30], np.int32)
+    rmm = rng.normal(0, 1.5, (3, 2))
+    nino = np.array([0.8, 0.0, -1.0])
+    res = rt.evaluate_realtime(model, variables, x, hind_obs, hind_weeks,
+                               fweeks, obs=obs, rmm=rmm, nino34=nino)
+    assert res.probs.shape == (3, H, H, 3)
+    assert res.labels.shape == (3, H, H)
+    assert res.rps_map.shape == (H, H)
+    assert np.isfinite(res.rpss_map).any()
+    assert res.gradcam_maps.shape == (3, H, H)
+    assert res.enso_composites.keys() == {"elnino", "neutral", "lanina"}
+    assert len(res.mjo_composites) >= 1
+
+
+def test_analysis_skill_maps():
+    from s2s_ismr_tpu import analysis
+    from s2s_ismr_tpu.data import synthetic
+    from s2s_ismr_tpu.grid import Domain
+    b = synthetic.synthetic_hindcast(years=(2003, 2008), seed=4, signal=0.7,
+                                     domain=Domain(67, 98, 7, 38), step=2.0)
+    sm = analysis.compute_skill_maps(b)
+    land = ~np.isnan(b.y[0])
+    assert np.nanmean(sm.cc[land]) > 0.2         # signal present
+    assert np.isfinite(sm.acc[land]).all()
+    assert np.nanmean(sm.cc[land]) > np.nanmean(sm.acc[land]) - 0.2
+    # external zero climatology -> ACC == CC
+    sm2 = analysis.compute_skill_maps(
+        b, external_clim=np.zeros((53,) + b.shape_yx, np.float32))
+    # (y anomalies still use sample clim; just check it runs & is finite)
+    assert np.isfinite(sm2.acc[land]).all()
+
+
+def test_analysis_rpss_table(tmp_path):
+    from s2s_ismr_tpu import analysis
+    from s2s_ismr_tpu.field import Field
+    from s2s_ismr_tpu.io import write_netcdf
+    rng = np.random.default_rng(0)
+    root = str(tmp_path)
+    for arch in ("ELR", "unet"):
+        vals = rng.normal(0.05, 0.1, (2, 4, 4)).astype(np.float32)
+        if arch == "ELR":
+            vals[:, 0, 0] = np.nan
+        f = Field(vals, ("bootstrap", "Y", "X"),
+                  {"Y": np.arange(4.0), "X": np.arange(4.0)}, "rpss")
+        write_netcdf(f, os.path.join(root, "outputs", "Common Period",
+                                     "ECMWF_IMD",
+                                     f"{arch}_rpss_test_wk3-4.nc"))
+    runs = [{"period_dir": "Common Period", "model": "ECMWF", "obs": "IMD",
+             "arch": a, "week": "wk3-4", "label": "wk3-4"}
+            for a in ("ELR", "unet")]
+    table = analysis.rpss_records(runs, root)
+    assert len(table.values) == 2 * 15            # ELR NaN pixel excluded
+    p = analysis.rpss_boxplot(table, os.path.join(root, "box.png"))
+    assert os.path.exists(p)
