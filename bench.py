@@ -26,6 +26,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from s2s_ismr_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from s2s_ismr_tpu import timeutils
     from s2s_ismr_tpu.data import synthetic
     from s2s_ismr_tpu.models import UNet, UNetConfig

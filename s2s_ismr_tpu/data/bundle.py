@@ -107,6 +107,34 @@ class DataBundle:
         """(T, Y, X) predictor images, 'mean' mode (preprocessing.py:21-23)."""
         return np.nanmean(self.x, axis=1)
 
+    def multi_predictor(self):
+        """(T, Y, X, M) member-as-channel images, 'multi_predictor' mode
+        (preprocessing.py:25-27)."""
+        return np.ascontiguousarray(self.x.transpose(0, 2, 3, 1))
+
+    def stacked(self):
+        """'stacked' mode (preprocessing.py:29-35): members become extra
+        batch rows. Returns a new DataBundle with T' = M*T, x of shape
+        (M*T, 1, Y, X) (single pseudo-member) and y tiled M times, in the
+        reference's MT=(M,T) stack order (member-major). Time metadata is
+        tiled so labeling/splits see each copy at its original week/year."""
+        m, t_n = self.n_m, self.n_t
+        x = self.x.transpose(1, 0, 2, 3).reshape(m * t_n, 1, *self.shape_yx)
+        y = np.tile(self.y, (m, 1, 1))
+        t = np.tile(self.t, m)
+        return replace(self, x=x, y=y, t=t)
+
+    def predictor_images(self, mode="mean"):
+        """Predictor tensor for the NN path, channels-last with an explicit
+        channel axis — the dispatch of convert_to_ndarray
+        (preprocessing.py:38-49). 'stacked' requires calling .stacked()
+        first (it changes the batch axis and targets too)."""
+        if mode == "mean" or mode == "stacked":
+            return self.ensemble_mean()[..., None]
+        if mode == "multi_predictor":
+            return self.multi_predictor()
+        raise ValueError(f"unknown predictor mode {mode!r}")
+
     def valid_pixels(self):
         """(Y, X) bool: pixels with no NaN anywhere in y — the reference's
         mask2 = isnan(y).any('T') (tune_ECMWF_com.py:131)."""

@@ -143,3 +143,31 @@ def max_pool2(x):
 
 def elu(x):
     return jax.nn.elu(x)
+
+
+class PallasConv3x3(nn.Module):
+    """Fused conv3x3 + bias + ELU via the Pallas TPU kernel
+    (kernels/conv.py). Parameter tree is identical to Conv2D (nested
+    'conv' scope holding kernel/bias), so checkpoints interchange freely
+    between the XLA and Pallas backends."""
+    features: int
+    act: str = "elu"
+
+    @nn.compact
+    def __call__(self, x):
+        return _PallasConvCore(self.features, self.act, name="conv")(x)
+
+
+class _PallasConvCore(nn.Module):
+    features: int
+    act: str
+
+    @nn.compact
+    def __call__(self, x):
+        from ..kernels import conv3x3_bias_act
+        c = x.shape[-1]
+        kernel = self.param("kernel", glorot_uniform,
+                            (3, 3, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv3x3_bias_act(x.astype(jnp.float32), kernel, bias,
+                                self.act)

@@ -20,10 +20,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, Conv2D, Conv2DTranspose, avg_pool2, elu, max_pool2
+from .layers import (BatchNorm, Conv2D, Conv2DTranspose, PallasConv3x3,
+                     avg_pool2, elu, max_pool2)
 
 
 @dataclass(frozen=True)
@@ -39,6 +41,7 @@ class UNetConfig:
     n_bins: int = 3
     output: str = "proba"          # 'proba' | 'deterministic'
     dropout_rate: float = 0.0
+    conv_backend: str = "auto"     # 'auto' | 'xla' | 'pallas'
 
     def block_width(self, k):
         """Width of encoder block k (1-based): filters*4 * 2^(k-1)."""
@@ -61,22 +64,36 @@ class UNet(nn.Module):
                 return v
             return BatchNorm(name=name)(v, train=train, sample_weight=sample_weight)
 
+        # Measured on TPU v5e (kernels/conv.py docstring): XLA's native conv
+        # wins runtime at these channel widths, so 'auto' resolves to XLA;
+        # 'pallas' stays available (parity-tested, ~3x faster to compile).
+        from ..kernels import fused_conv_supported
+        use_pallas = cfg.conv_backend == "pallas"
+
+        def conv_elu(v, width, name):
+            """conv3x3(same)+ELU: fused Pallas kernel on TPU-friendly
+            shapes, XLA conv elsewhere (identical params/semantics)."""
+            if use_pallas and fused_conv_supported(
+                    v.shape[-3], v.shape[-2], v.shape[-1], width):
+                return PallasConv3x3(width, name=name)(v)
+            return elu(Conv2D(width, name=name)(v))
+
         # encoder
         skips = []
         h = x
         for k in range(1, cfg.n_blocks + 1):
             w = cfg.block_width(k)
-            c = elu(Conv2D(w, name=f"down{k}_conv1")(h))
+            c = conv_elu(h, w, f"down{k}_conv1")
             c = drop(c)
-            c = elu(Conv2D(w, name=f"down{k}_conv2")(c))
+            c = conv_elu(c, w, f"down{k}_conv2")
             c = bn(c, f"down{k}_bn")
             skips.append(c)
             h = pool(c)
 
         # bottleneck
         wb = cfg.filters * 4 * (2 ** cfg.n_blocks)
-        h = elu(Conv2D(wb, name="bottleneck_conv1")(h))
-        h = elu(Conv2D(wb, name="bottleneck_conv2")(h))
+        h = conv_elu(h, wb, "bottleneck_conv1")
+        h = conv_elu(h, wb, "bottleneck_conv2")
         h = bn(h, "bottleneck_bn")
         if bottleneck_delta is not None:
             # GradCAM tap: grads w.r.t. this zero perturbation are grads
@@ -90,9 +107,9 @@ class UNet(nn.Module):
             u = Conv2DTranspose(w, cfg.ct_kernel, cfg.ct_stride,
                                 name=f"up{k}_convT")(h)
             u = jnp.concatenate([skips[k - 1], u], axis=-1)
-            u = elu(Conv2D(w, name=f"up{k}_conv1")(u))
+            u = conv_elu(u, w, f"up{k}_conv1")
             u = drop(u)
-            u = elu(Conv2D(w, name=f"up{k}_conv2")(u))
+            u = conv_elu(u, w, f"up{k}_conv2")
             h = bn(u, f"up{k}_bn") if k > 1 else u
 
         # head

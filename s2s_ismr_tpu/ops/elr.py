@@ -9,10 +9,15 @@ training.py:445-447/459-460). Cumulative probabilities convert to tercile
 probabilities as [p1, p2-p1, 1-p2]; label-invalid times are filled with
 1/3; pixels failing its validity guards are skipped and stay NaN.
 
-TPU-first: the double loop becomes one batched Newton/IRLS solve vmapped
-over (fold, pixel) lanes — a (rows x 3) weighted least-squares per lane
-with a closed-form 3x3 solve, fully jittable. A 32x32 grid x 10 folds is
-10,240 simultaneous GLM fits in one XLA program.
+TPU-first: the double loop becomes one pixel-parallel IRLS where the
+pixel axis is a dense vector lane dimension. With only 3 features the
+normal equations are 6 sums-of-products and the solve is a closed-form
+3x3 Cramer inverse — every step is an elementwise VPU op or a (rows ->
+pixel) reduction; no batched tiny matmuls, no linalg.solve. A 32x32 grid
+x 10 folds is 10,240 simultaneous GLM fits in one XLA program. The
+quantile-indicator feature is internally centered/scaled ((q-50)/17 maps
+33/67 -> -/+1), which leaves eta and the fit invariant but keeps the
+normal equations well-conditioned in float32.
 """
 
 from __future__ import annotations
@@ -28,85 +33,98 @@ RIDGE = 1e-8
 ETA_CLIP = 30.0
 
 
-def _design(x_t):
-    """(2T, 3) design matrix for one pixel: rows = [q33 rows; q66 rows]."""
-    T = x_t.shape[0]
-    x2 = jnp.concatenate([x_t, x_t])
-    qind = jnp.concatenate([jnp.full((T,), Q_INDICATOR[0], jnp.float32),
-                            jnp.full((T,), Q_INDICATOR[1], jnp.float32)])
-    return jnp.stack([jnp.ones_like(x2), x2, qind], axis=1)
+_Q_CENTER = 50.0
+_Q_SCALE = 17.0   # (33-50)/17 = -1, (67-50)/17 = +1
 
 
-def _irls(X, y, w, iters=N_IRLS_ITERS):
-    """Weighted logistic IRLS; rows with w=0 are ignored. Returns beta (3,)."""
+def _irls_pixels(x, y, w, q, iters=N_IRLS_ITERS):
+    """Pixel-parallel weighted logistic IRLS.
+
+    x, y, w: (R, P) — R = 2T stacked rows ([q33 block; q66 block]),
+    P pixels; q: (R, 1) scaled quantile indicator. Rows with w=0 are
+    ignored. Returns beta (3, P) in the SCALED feature basis.
+    """
     y = jnp.nan_to_num(y, nan=0.0)
+    x = jnp.nan_to_num(x, nan=0.0)   # NaN pixels are skipped downstream
 
     def step(beta, _):
-        eta = jnp.clip(X @ beta, -ETA_CLIP, ETA_CLIP)
+        b0, b1, b2 = beta
+        eta = jnp.clip(b0 + b1 * x + b2 * q, -ETA_CLIP, ETA_CLIP)
         mu = jax.nn.sigmoid(eta)
         s = jnp.maximum(mu * (1.0 - mu), 1e-8)
         wi = w * s
         z = eta + (y - mu) / s
-        A = (X * wi[:, None]).T @ X + RIDGE * jnp.eye(X.shape[1])
-        b = (X * wi[:, None]).T @ z
-        return jnp.linalg.solve(A, b), None
+        # normal equations: 6 unique entries of X^T W X, 3 of X^T W z —
+        # all (R,P) -> (P,) reductions, elementwise on the pixel lanes
+        wx, wq, wz = wi * x, wi * q, wi * z
+        s1 = jnp.sum(wi, 0) + RIDGE
+        sx, sq = jnp.sum(wx, 0), jnp.sum(wq, 0)
+        sxx = jnp.sum(wx * x, 0) + RIDGE
+        sxq, sqq = jnp.sum(wx * q, 0), jnp.sum(wq * q, 0) + RIDGE
+        r0, rx, rq = jnp.sum(wz, 0), jnp.sum(wz * x, 0), jnp.sum(wz * q, 0)
+        # closed-form symmetric 3x3 solve (adjugate / Cramer)
+        c00 = sxx * sqq - sxq * sxq
+        c01 = sq * sxq - sx * sqq
+        c02 = sx * sxq - sq * sxx
+        det = s1 * c00 + sx * c01 + sq * c02
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        c11 = s1 * sqq - sq * sq
+        c12 = sq * sx - s1 * sxq
+        c22 = s1 * sxx - sx * sx
+        nb0 = (c00 * r0 + c01 * rx + c02 * rq) * inv_det
+        nb1 = (c01 * r0 + c11 * rx + c12 * rq) * inv_det
+        nb2 = (c02 * r0 + c12 * rx + c22 * rq) * inv_det
+        return (nb0, nb1, nb2), None
 
-    beta, _ = jax.lax.scan(step, jnp.zeros(X.shape[1], jnp.float32),
-                           None, length=iters)
-    return beta
-
-
-def _fit_pixel(x_t, tgt, valid_t, train_mask, test_mask, y_raw_t):
-    """One (fold, pixel) lane.
-
-    x_t: (T,) ensemble-mean predictor; tgt: (2, T) cumulative targets
-    (NaN where label-invalid); valid_t: (T,) bool label validity;
-    train_mask/test_mask: (T,) bool; y_raw_t: (T,) raw obs for the
-    reference's any-NaN skip (training.py:435).
-    Returns probs (T, 3) with the reference's NaN/skip/fill conventions.
-    """
-    T = x_t.shape[0]
-    X = _design(x_t)
-    y = jnp.concatenate([tgt[0], tgt[1]])
-    valid2 = jnp.concatenate([valid_t, valid_t])
-    w_train = (valid2 & jnp.concatenate([train_mask, train_mask])).astype(jnp.float32)
-
-    n_valid_train = jnp.sum(valid_t & train_mask)
-    n_valid_test = jnp.sum(valid_t & test_mask)
-    x_nan_train = jnp.any(jnp.isnan(x_t) & valid_t & train_mask)
-    x_nan_test = jnp.any(jnp.isnan(x_t) & valid_t & test_mask)
-    raw_nan = jnp.any(jnp.isnan(y_raw_t) & train_mask)
-    # reference skip guards (training.py:435, 465, 477, 480): any raw-NaN,
-    # any NaN predictor at used rows, or <= 2 usable rows (= <= 1 time)
-    skip = raw_nan | x_nan_train | x_nan_test | \
-        (n_valid_train <= 1) | (n_valid_test <= 1)
-
-    beta = _irls(X, y, w_train)
-    eta = jnp.clip(X @ beta, -ETA_CLIP, ETA_CLIP)
-    p = jax.nn.sigmoid(eta)
-    p1, p2 = p[:T], p[T:]
-    probs = jnp.stack([p1, p2 - p1, 1.0 - p2], axis=-1)       # (T, 3)
-    third = jnp.full_like(probs, 1.0 / 3.0)
-    probs = jnp.where(valid_t[:, None], probs, third)          # 1/3 fill
-    return jnp.where(skip, jnp.nan, probs)
+    P = x.shape[1]
+    zero = jnp.zeros((P,), jnp.float32)
+    (b0, b1, b2), _ = jax.lax.scan(step, (zero, zero, zero), None,
+                                   length=iters)
+    return b0, b1, b2
 
 
 @jax.jit
 def elr_fold(x_mean, targets, train_mask, test_mask, y_raw):
-    """All pixels of one fold.
+    """All pixels of one fold, fully pixel-parallel.
 
     x_mean: (T, *S); targets: (2, T, *S); masks (T,); y_raw (T, *S).
     Returns (T, *S, 3) tercile probabilities (NaN at skipped pixels).
     """
     shape_s = x_mean.shape[1:]
     T = x_mean.shape[0]
-    xs = x_mean.reshape(T, -1)
+    xs = x_mean.reshape(T, -1)                       # (T, P)
     tg = targets.reshape(2, T, -1)
     yr = y_raw.reshape(T, -1)
-    valid = ~jnp.isnan(tg[0])
+    valid = ~jnp.isnan(tg[0])                        # (T, P)
 
-    probs = jax.vmap(_fit_pixel, in_axes=(1, 2, 1, None, None, 1),
-                     out_axes=1)(xs, tg, valid, train_mask, test_mask, yr)
+    x2 = jnp.concatenate([xs, xs])                   # (2T, P)
+    y2 = jnp.concatenate([tg[0], tg[1]])
+    q2 = jnp.concatenate([
+        jnp.full((T, 1), (Q_INDICATOR[0] - _Q_CENTER) / _Q_SCALE),
+        jnp.full((T, 1), (Q_INDICATOR[1] - _Q_CENTER) / _Q_SCALE),
+    ]).astype(jnp.float32)
+    valid2 = jnp.concatenate([valid, valid])
+    w_train = (valid2 & jnp.concatenate([train_mask, train_mask])[:, None]
+               ).astype(jnp.float32)
+
+    # reference skip guards (training.py:435, 465, 477, 480): any raw-NaN,
+    # any NaN predictor at used rows, or <= 2 usable rows (= <= 1 time)
+    n_valid_train = jnp.sum(valid & train_mask[:, None], 0)
+    n_valid_test = jnp.sum(valid & test_mask[:, None], 0)
+    x_nan_train = jnp.any(jnp.isnan(xs) & valid & train_mask[:, None], 0)
+    x_nan_test = jnp.any(jnp.isnan(xs) & valid & test_mask[:, None], 0)
+    raw_nan = jnp.any(jnp.isnan(yr) & train_mask[:, None], 0)
+    skip = raw_nan | x_nan_train | x_nan_test | \
+        (n_valid_train <= 1) | (n_valid_test <= 1)   # (P,)
+
+    b0, b1, b2 = _irls_pixels(x2, y2, w_train, q2)
+    eta = jnp.clip(b0 + b1 * jnp.nan_to_num(x2, nan=0.0) + b2 * q2,
+                   -ETA_CLIP, ETA_CLIP)
+    p = jax.nn.sigmoid(eta)
+    p1, p2 = p[:T], p[T:]
+    probs = jnp.stack([p1, p2 - p1, 1.0 - p2], axis=-1)        # (T, P, 3)
+    probs = jnp.where(valid[..., None], probs, 1.0 / 3.0)      # 1/3 fill
+    probs = jnp.where(skip[None, :, None], jnp.nan, probs)
     return probs.reshape((T,) + shape_s + (3,))
 
 

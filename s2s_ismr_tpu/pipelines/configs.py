@@ -36,7 +36,8 @@ class PipelineConfig:
     pad_y_rows: int = 0                      # ECMWF full: 1
     pad_lat_value: Optional[float] = None    # ECMWF full: 40.5
     tuning: TuningGrid = field(default_factory=TuningGrid)
-    architecture: str = "unet"
+    architecture: str = "unet"           # 'unet' | 'cnn' | 'mlp'
+    predictor: str = "mean"              # 'mean' | 'multi_predictor' | 'stacked'
     epochs: int = 100
     elr_frac_test: float = 0.3
     nn_frac_valid: float = 0.2

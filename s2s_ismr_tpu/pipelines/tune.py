@@ -169,6 +169,10 @@ class NNResult:
 def run_nn_branch(cfg: PipelineConfig, bundles, log=print) -> NNResult:
     names = list(bundles)
     filled = {n: b.fillna(0.0) for n, b in bundles.items()}
+    if cfg.predictor == "stacked":
+        # members become extra batch rows; labels/splits/metrics all run on
+        # the tiled MT axis (preprocessing.py:29-35, training.py:146-238)
+        filled = {n: b.stacked() for n, b in filled.items()}
     first = filled[names[0]]
     y_shared = np.mean(np.stack([filled[n].y for n in names]), axis=0) \
         if cfg.is_mme else first.y
@@ -189,17 +193,37 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print) -> NNResult:
     labels = np.asarray(lab_folds)
 
     sweeps: Dict[str, SweepResult] = {}
+    hparams_by_model: Dict[str, list] = {}
     per_model_preds = []
     for n in names:
-        x = jnp.asarray(filled[n].ensemble_mean()[..., None])
+        x = jnp.asarray(filled[n].predictor_images(cfg.predictor))
         t0 = time.time()
-        res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
-                             epochs=cfg.epochs)
-        log(f"[nn] model {n}: sweep of {res.val_loss_table.shape[1]} trials "
-            f"x {fm.n_folds} folds in {time.time() - t0:.1f}s; "
-            f"winners={[t.hparams() for t in res.best_trial]}")
-        sweeps[n] = res
-        per_model_preds.append(res.predictions)
+        if cfg.architecture == "unet":
+            res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
+                                 epochs=cfg.epochs)
+            log(f"[nn] model {n}: sweep of {res.val_loss_table.shape[1]} "
+                f"trials x {fm.n_folds} folds in {time.time() - t0:.1f}s; "
+                f"winners={[t.hparams() for t in res.best_trial]}")
+            sweeps[n] = res
+            preds_n = res.predictions
+            hparams_by_model[n] = [t.hparams() for t in res.best_trial]
+        else:
+            # cnn/mlp: single-configuration training per fold, like the
+            # reference's architecture branch (training.py:53-64) — its
+            # tuning loop only ever rebuilds the U-Net
+            from ..train.sweep import run_fixed_training
+            model = _make_architecture(cfg.architecture, x.shape)
+            g = cfg.tuning
+            lr, bs = g.learning_rates[0], g.batch_sizes[0]
+            vloss, preds_n, _ = run_fixed_training(
+                model, x, y_oh, fm.train, fm.val, lr=lr, batch_size=bs,
+                epochs=cfg.epochs, patience=g.patience)
+            log(f"[nn] model {n}: {cfg.architecture} x {fm.n_folds} folds "
+                f"in {time.time() - t0:.1f}s; val_loss={vloss.round(4)}")
+            hparams_by_model[n] = [
+                {"architecture": cfg.architecture, "lr": lr,
+                 "batch_size": bs}] * fm.n_folds
+        per_model_preds.append(preds_n)
 
     if cfg.is_mme:
         preds = np.asarray(elr_ops.blend_probabilities(per_model_preds))
@@ -220,8 +244,17 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print) -> NNResult:
         rpss_test=Field(_r(fm.test), ("bootstrap", "Y", "X"), coords, "rpss"),
         predictions=preds, labels=labels, masks=fm, sweeps=sweeps,
         best_hparams=[
-            {n: sweeps[n].best_trial[f].hparams() for n in names}
+            {n: hparams_by_model[n][f] for n in names}
             for f in range(fm.n_folds)])
+
+
+def _make_architecture(arch: str, x_shape):
+    from ..models import CNN, MLP
+    if arch == "cnn":
+        return CNN()
+    if arch == "mlp":
+        return MLP(spatial_shape=tuple(x_shape[1:3]))
+    raise ValueError(f"unknown architecture {arch!r}")
 
 
 # ------------------------------------------------------------- skill mask

@@ -46,6 +46,9 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    from .compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     try:
         cfg = get_config(args.config)
     except KeyError as e:

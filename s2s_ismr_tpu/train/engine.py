@@ -88,20 +88,22 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
     tx = adam(settings)
     opt_state = tx.init(params)
 
-    def loss_fn(p, stats, xb, yb, wb):
+    def loss_fn(p, stats, xb, yb, wb, dkey):
         out, mutated = model.apply(
             {"params": p, "batch_stats": stats}, xb, train=True,
-            sample_weight=wb, mutable=["batch_stats"])
+            sample_weight=wb, mutable=["batch_stats"],
+            rngs={"dropout": dkey})
         return categorical_crossentropy(out, yb, wb), mutated["batch_stats"]
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def batch_step(carry, bidx):
+    def batch_step(carry, batch):
+        bidx, dkey = batch
         params, stats, opt_state = carry
         xb = x_pad[bidx]
         yb = y_pad[bidx]
         wb = wtrain_pad[bidx]
-        (loss, new_stats), grads = grad_fn(params, stats, xb, yb, wb)
+        (loss, new_stats), grads = grad_fn(params, stats, xb, yb, wb, dkey)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
         ok = jnp.sum(wb) > 0                     # gate no-op padded batches
@@ -117,6 +119,8 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
 
     def epoch_step(carry, ekey):
         params, stats, opt_state, best = carry
+        ekey, dkey = jax.random.split(ekey)
+        dkeys = jax.random.split(dkey, n_batches)   # per-batch dropout rngs
         # Keras shuffle=True: random batch composition each epoch. Stable
         # partition puts train samples first so the real batches are dense.
         perm = jax.random.permutation(ekey, T)
@@ -128,7 +132,7 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
             idx = jnp.concatenate([idx, jnp.full((pad,), T, idx.dtype)])
         batches = idx.reshape(n_batches, bs)
         (params, stats, opt_state), _ = jax.lax.scan(
-            batch_step, (params, stats, opt_state), batches)
+            batch_step, (params, stats, opt_state), (batches, dkeys))
 
         vloss = val_loss_fn(params, stats)
         best_params, best_stats, best_vloss, wait, stopped = best

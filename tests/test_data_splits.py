@@ -102,3 +102,36 @@ def test_mme_ensemble_shares_truth():
     assert not np.allclose(a.x[:, 0], b.x[:, 0])     # different forecasts
     assert a.n_m == synthetic.ENSEMBLE_SIZES["GEFS"]
     assert b.n_m == synthetic.ENSEMBLE_SIZES["ECMWF"]
+
+
+def test_predictor_modes(bundle):
+    """mean / multi_predictor / stacked tensor modes
+    (preprocessing.py:21-49)."""
+    m, t_n = bundle.n_m, bundle.n_t
+    mp = bundle.multi_predictor()
+    assert mp.shape == (t_n, 16, 16, m)
+    np.testing.assert_array_equal(mp[:, :, :, 2], bundle.x[:, 2])
+
+    st = bundle.stacked()
+    assert st.x.shape == (m * t_n, 1, 16, 16)
+    assert st.y.shape == (m * t_n, 16, 16)
+    # member-major stack order: block k is member k at all times
+    np.testing.assert_array_equal(st.x[t_n:2 * t_n, 0], bundle.x[:, 1])
+    np.testing.assert_array_equal(st.y[:t_n], bundle.y)
+    np.testing.assert_array_equal(st.weeks[:t_n], bundle.weeks)
+    np.testing.assert_array_equal(st.years[t_n:2 * t_n], bundle.years)
+
+    assert bundle.predictor_images("mean").shape == (t_n, 16, 16, 1)
+    assert bundle.predictor_images("multi_predictor").shape == (t_n, 16, 16, m)
+    assert st.predictor_images("stacked").shape == (m * t_n, 16, 16, 1)
+    with pytest.raises(ValueError):
+        bundle.predictor_images("nope")
+
+
+def test_stacked_split_masks_select_whole_years(bundle):
+    st = bundle.stacked()
+    fm = splits.bootstrap_masks(st.years, n_bootstraps=2)
+    fm0 = splits.bootstrap_masks(bundle.years, n_bootstraps=2)
+    # same year partition as the unstacked split, tiled M times
+    np.testing.assert_array_equal(fm.train[0],
+                                  np.tile(fm0.train[0], bundle.n_m))

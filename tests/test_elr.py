@@ -24,15 +24,30 @@ def _ref_logit_fit(X, y):
     return res.x
 
 
+def _design(x):
+    """Unscaled reference design matrix [1, x, q] with q = 33/67 blocks."""
+    T = len(x)
+    x2 = np.concatenate([x, x])
+    q = np.concatenate([np.full(T, 33.0), np.full(T, 67.0)])
+    return np.stack([np.ones(2 * T), x2, q], axis=1).astype(np.float32)
+
+
 def test_irls_matches_mle(rng):
     T = 120
     x = rng.normal(2.0, 1.0, T).astype(np.float32)
-    X = np.asarray(elr._design(jnp.asarray(x)))
+    X = _design(x)
     true_beta = np.array([0.5, -0.8, 0.01])
     p = 1 / (1 + np.exp(-(X @ true_beta)))
     y = (rng.random(2 * T) < p).astype(np.float32)
-    w = np.ones(2 * T, np.float32)
-    beta = np.asarray(elr._irls(jnp.asarray(X), jnp.asarray(y), jnp.asarray(w)))
+
+    x2 = jnp.asarray(np.concatenate([x, x])[:, None])          # (2T, 1)
+    q2 = jnp.asarray(((np.concatenate([np.full(T, 33.0), np.full(T, 67.0)])
+                       - 50.0) / 17.0)[:, None].astype(np.float32))
+    w = jnp.ones((2 * T, 1), jnp.float32)
+    b0, b1, b2 = (np.asarray(v)[0] for v in elr._irls_pixels(
+        x2, jnp.asarray(y[:, None]), w, q2))
+    # convert from the scaled-q basis back to [1, x, q]
+    beta = np.array([b0 - 50.0 * b2 / 17.0, b1, b2 / 17.0])
     beta_ref = _ref_logit_fit(X, y)
     np.testing.assert_allclose(beta, beta_ref, atol=5e-3)
 
@@ -49,9 +64,10 @@ def test_fit_pixel_conventions(rng):
     test = ~train
     y_raw = x.copy()
 
-    probs = np.asarray(elr._fit_pixel(
-        jnp.asarray(x), jnp.asarray(tgt), jnp.asarray(valid),
-        jnp.asarray(train), jnp.asarray(test), jnp.asarray(y_raw)))
+    probs = np.asarray(elr.elr_fold(
+        jnp.asarray(x[:, None]), jnp.asarray(tgt[:, :, None]),
+        jnp.asarray(train), jnp.asarray(test),
+        jnp.asarray(y_raw[:, None])))[:, 0]
     assert probs.shape == (T, 3)
     # invalid times -> exactly 1/3
     np.testing.assert_allclose(probs[~valid], 1 / 3)
@@ -71,17 +87,19 @@ def test_fit_pixel_skip_guards(rng):
 
     # raw-NaN pixel -> all NaN
     y_nan = x.copy(); y_nan[3] = np.nan
-    p = np.asarray(elr._fit_pixel(jnp.asarray(x), jnp.asarray(tgt),
-                                  jnp.asarray(valid), jnp.asarray(train),
-                                  jnp.asarray(test), jnp.asarray(y_nan)))
+    p = np.asarray(elr.elr_fold(
+        jnp.asarray(x[:, None]), jnp.asarray(tgt[:, :, None]),
+        jnp.asarray(train), jnp.asarray(test),
+        jnp.asarray(y_nan[:, None])))[:, 0]
     assert np.isnan(p).all()
 
     # too few valid rows -> skip
     few = np.zeros(T, bool); few[:1] = True
     tgt2 = tgt.copy(); tgt2[:, ~few] = np.nan
-    p2 = np.asarray(elr._fit_pixel(jnp.asarray(x), jnp.asarray(tgt2),
-                                   jnp.asarray(few), jnp.asarray(train),
-                                   jnp.asarray(test), jnp.asarray(x)))
+    p2 = np.asarray(elr.elr_fold(
+        jnp.asarray(x[:, None]), jnp.asarray(tgt2[:, :, None]),
+        jnp.asarray(train), jnp.asarray(test),
+        jnp.asarray(x[:, None])))[:, 0]
     assert np.isnan(p2).all()
 
 

@@ -122,3 +122,26 @@ def test_vmapped_lanes(setup):
     assert np.isfinite(np.asarray(vloss)).all()
     assert np.isfinite(np.asarray(preds)).all()
     np.testing.assert_allclose(np.asarray(preds.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_fixed_training_mlp_dropout_rng():
+    """run_fixed_training must thread dropout rngs (MLP has rate 0.3 —
+    Keras deep_nn_models.py:166-186); regression for missing rngs."""
+    import jax
+    import jax.numpy as jnp
+    from s2s_ismr_tpu.models import MLP
+    from s2s_ismr_tpu.train.sweep import run_fixed_training
+
+    rng = np.random.default_rng(0)
+    T, H = 24, 8
+    x = jnp.asarray(rng.normal(size=(T, H, H, 1)).astype(np.float32))
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 3, size=(T, H, H))), 3)
+    tmask = np.zeros((1, T), bool); tmask[:, :16] = True
+    vmask = ~tmask
+    model = MLP(spatial_shape=(H, H))
+    vloss, preds, var_list = run_fixed_training(
+        model, x, jnp.asarray(y)[None], tmask, vmask,
+        lr=1e-3, batch_size=8, epochs=2, patience=2)
+    assert np.isfinite(vloss).all()
+    assert preds.shape == (1, T, H, H, 3)
+    np.testing.assert_allclose(np.asarray(preds).sum(-1), 1.0, atol=1e-5)
