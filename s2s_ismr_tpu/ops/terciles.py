@@ -125,6 +125,29 @@ def fit_and_label(y, weeks, pool_mask, window_matrix, label_masks,
     return labels, edges, present
 
 
+@jax.jit
+def static_terciles(y, pool_mask=None):
+    """Static (non-rolling) tercile labeler: edges are the [1/3, 2/3]
+    quantiles over the whole pooled T axis per pixel, labels 0/1/2 with
+    NaN where y is NaN (reference make_tercile_labeler,
+    preprocessing.py:11-19; unused by the tune path but part of the API).
+
+    y: (T, *S); pool_mask: (T,) bool or None (all).
+    Returns (labels (T,*S), edges (2,*S)).
+    """
+    y = jnp.asarray(y, jnp.float32)
+    if pool_mask is None:
+        pool_mask = jnp.ones((y.shape[0],), bool)
+    sel = jnp.asarray(pool_mask, bool).reshape(
+        (y.shape[0],) + (1,) * (y.ndim - 1))
+    edges = masked_quantile(y, sel, TERCILE_QS, axis=0)    # (2, *S)
+    q0, q1 = edges[0], edges[1]
+    lab = jnp.where(y < q0, 0.0, jnp.where(y > q1, 2.0, 1.0))
+    lab = jnp.where(jnp.isnan(y) | jnp.isnan(q0) | jnp.isnan(q1),
+                    jnp.nan, lab)
+    return lab, edges
+
+
 def one_hot_labels(labels, n=3):
     """(..., n) one-hot of 0/1/2 float labels; NaN label -> all-NaN row.
 

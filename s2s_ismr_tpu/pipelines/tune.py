@@ -166,7 +166,8 @@ class NNResult:
     best_hparams: list
 
 
-def run_nn_branch(cfg: PipelineConfig, bundles, log=print) -> NNResult:
+def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
+                  timer=None) -> NNResult:
     names = list(bundles)
     filled = {n: b.fillna(0.0) for n, b in bundles.items()}
     if cfg.predictor == "stacked":
@@ -224,6 +225,13 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print) -> NNResult:
                 {"architecture": cfg.architecture, "lr": lr,
                  "batch_size": bs}] * fm.n_folds
         per_model_preds.append(preds_n)
+        if timer is not None:
+            if n in sweeps:
+                timer.count("train_steps", sweeps[n].train_steps)
+            else:
+                bs_ = cfg.tuning.batch_sizes[0]
+                timer.count("train_steps", fm.n_folds * cfg.epochs
+                            * (-(-x.shape[0] // bs_)))
 
     if cfg.is_mme:
         preds = np.asarray(elr_ops.blend_probabilities(per_model_preds))
@@ -286,13 +294,17 @@ class TuneOutputs:
 
 def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                  make_plots=False, save_outputs=True, seed=0,
-                 synthetic_step=None, log=print) -> TuneOutputs:
+                 synthetic_step=None, log=print,
+                 profile_dir=None) -> TuneOutputs:
+    from ..profiling import StageTimer, trace
+    timer = StageTimer()
     t_start = time.time()
     log(f"####### TUNING {'+'.join(cfg.models)} for {cfg.obs} "
         f"{cfg.week} ({cfg.name}) #######")
-    bundles = load_bundles(cfg, source, seed=seed,
-                           synthetic_step=synthetic_step)
-    bundles = {n: _apply_pad(cfg, b) for n, b in bundles.items()}
+    with timer.stage("data"):
+        bundles = load_bundles(cfg, source, seed=seed,
+                               synthetic_step=synthetic_step)
+        bundles = {n: _apply_pad(cfg, b) for n, b in bundles.items()}
     first = bundles[list(bundles)[0]]
 
     out_dir = os.path.join(out_root, "outputs", cfg.out_dir,
@@ -300,7 +312,8 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     paths = {}
 
     log("########### ELR ###########")
-    elr_res = run_elr_branch(cfg, bundles, log)
+    with trace(profile_dir), timer.stage("elr"):
+        elr_res = run_elr_branch(cfg, bundles, log)
     if save_outputs:
         for tag, fld in [("train", elr_res.rpss_train),
                          ("test", elr_res.rpss_test)]:
@@ -308,7 +321,9 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
             paths[f"elr_{tag}"] = write_netcdf(fld, p)
 
     log("########### Neural Network ###########")
-    nn_res = run_nn_branch(cfg, bundles, log)
+    with trace(profile_dir and os.path.join(profile_dir, "nn")), \
+            timer.stage("nn"):
+        nn_res = run_nn_branch(cfg, bundles, log, timer=timer)
     arch = cfg.architecture
     if save_outputs:
         for tag, fld in [("train", nn_res.rpss_train),
@@ -327,6 +342,10 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
 
     out = TuneOutputs(config=cfg, elr=elr_res, nn=nn_res, mask=mask,
                       paths=paths, elapsed_s=time.time() - t_start)
+    if save_outputs:
+        paths["profile"] = timer.dump(
+            os.path.join(out_dir, f"profile_{cfg.week}.json"))
+    log(f"[profile] {json.dumps(timer.summary())}")
 
     if make_plots:
         from ..viz import reliability, maps

@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--folds", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write jax.profiler traces + stage timings to DIR")
     args = ap.parse_args(argv)
 
     from .pipelines import CONFIGS, get_config
@@ -65,7 +67,7 @@ def main(argv=None):
     from .pipelines.tune import run_pipeline
     out = run_pipeline(cfg, source=args.source, out_root=args.out,
                        make_plots=args.plots, seed=args.seed,
-                       synthetic_step=args.step)
+                       synthetic_step=args.step, profile_dir=args.profile)
     summary = {
         "config": cfg.name,
         "elapsed_s": round(out.elapsed_s, 2),

@@ -85,6 +85,7 @@ class SweepResult:
     val_loss_table: np.ndarray           # (F, n_trials) in product order
     winner_variables: List[Any]          # per fold: flax variables (host)
     winner_configs: List[UNetConfig]     # per fold
+    train_steps: int = 0                 # total optimizer steps executed
 
 
 def _lane_keys(base_seed, fold_idx, trial_idx):
@@ -119,6 +120,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     val_table = np.full((F, n_trials), np.inf, np.float32)
     preds_by_trial: Dict[int, np.ndarray] = {}
     vars_by_trial: Dict[int, Any] = {}
+    total_steps = 0
 
     for key_, bucket in buckets.items():
         bs, kern, filt, blocks = key_
@@ -146,6 +148,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             for f in range(F)])
         best_vars, vloss, preds = lanes(y_oh_folds, train_masks, val_masks,
                                         lrs, keys)
+        total_steps += F * R * epochs * (-(-x.shape[0] // bs))
         vloss = np.asarray(vloss)            # (F, R)
         preds = np.asarray(preds)            # (F, R, T, H, W, 3)
         if verbose:
@@ -175,6 +178,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         val_loss_table=val_table,
         winner_variables=winner_vars,
         winner_configs=winner_cfgs,
+        train_steps=total_steps,
     )
 
 

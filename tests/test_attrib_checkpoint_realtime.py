@@ -160,3 +160,19 @@ def test_analysis_rpss_table(tmp_path):
     assert len(table.values) == 2 * 15            # ELR NaN pixel excluded
     p = analysis.rpss_boxplot(table, os.path.join(root, "box.png"))
     assert os.path.exists(p)
+
+
+def test_profiling_stage_timer(tmp_path):
+    from s2s_ismr_tpu.profiling import StageTimer, trace
+    t = StageTimer()
+    with t.stage("nn"):
+        pass
+    t.count("train_steps", 100)
+    s = t.summary()
+    assert "nn" in s["stages_s"] and s["counters"]["train_steps"] == 100
+    assert "train_steps_per_sec" in s
+    p = t.dump(str(tmp_path / "prof.json"))
+    import json
+    assert "stages_s" in json.load(open(p))
+    with trace(None):       # no-op path
+        pass

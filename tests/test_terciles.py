@@ -149,3 +149,26 @@ def test_nearest_present_week_tiebreak():
     assert near[19] == 19
     assert near[0] == 19      # far below -> smallest present
     assert near[52] == 29
+
+
+def test_static_terciles_matches_numpy(rng):
+    """Static labeler (make_tercile_labeler, preprocessing.py:11-19)."""
+    import jax.numpy as jnp
+    from s2s_ismr_tpu.ops.terciles import static_terciles
+    y = rng.gamma(2, 2, size=(60, 4, 4)).astype(np.float32)
+    y[:, 0, 0] = np.nan
+    lab, edges = static_terciles(jnp.asarray(y))
+    lab, edges = np.asarray(lab), np.asarray(edges)
+    q = np.nanquantile(y, [1 / 3, 2 / 3], axis=0)
+    np.testing.assert_allclose(edges[:, 1:, 1:], q[:, 1:, 1:],
+                               rtol=1e-5, atol=1e-5)
+    ref = np.where(y < q[0], 0.0, np.where(y > q[1], 2.0, 1.0))
+    ref[np.isnan(y)] = np.nan
+    np.testing.assert_array_equal(np.isnan(lab), np.isnan(ref))
+    np.testing.assert_allclose(lab[~np.isnan(lab)], ref[~np.isnan(ref)])
+
+    pool = np.zeros(60, bool); pool[:30] = True
+    lab2, edges2 = static_terciles(jnp.asarray(y), jnp.asarray(pool))
+    q2 = np.nanquantile(y[:30], [1 / 3, 2 / 3], axis=0)
+    np.testing.assert_allclose(np.asarray(edges2)[:, 1:, 1:], q2[:, 1:, 1:],
+                               rtol=1e-5, atol=1e-5)
