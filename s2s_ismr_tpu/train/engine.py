@@ -54,9 +54,15 @@ def _tree_where(pred, a, b):
 
 def adam(settings: TrainSettings):
     """Keras-default Adam with the learning rate applied outside, so lr can
-    be a traced per-lane value under vmap."""
-    return optax.scale_by_adam(b1=settings.b1, b2=settings.b2,
-                               eps=settings.eps, eps_root=0.0)
+    be a traced per-lane value under vmap.
+
+    optax.flatten runs the moment updates on ONE concatenated vector
+    instead of ~30 tree leaves. Measured on TPU v5e (20-lane sweep):
+    identical trajectory, ~2% faster steps, and 7x faster XLA compile
+    (141.8s -> 20.9s) — the leaf-wise update chains were what blew up
+    compilation."""
+    return optax.flatten(optax.scale_by_adam(
+        b1=settings.b1, b2=settings.b2, eps=settings.eps, eps_root=0.0))
 
 
 def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
