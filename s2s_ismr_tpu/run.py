@@ -42,6 +42,8 @@ def main(argv=None):
         for name, cfg in CONFIGS.items():
             print(f"{name:18s} models={'+'.join(cfg.models):16s} "
                   f"years={cfg.years} week={cfg.week} dir={cfg.out_dir!r}")
+        print("accs               CC/ACC skill-map sweep (ACCs.ipynb)")
+        print("barplot            RPSS boxplot aggregation (Bar_plot.ipynb)")
         return 0
 
     if args.cpu:
@@ -50,6 +52,18 @@ def main(argv=None):
 
     from .compile_cache import enable_compilation_cache
     enable_compilation_cache()
+
+    if args.config == "accs":
+        from .pipelines.notebooks import run_accs
+        out = run_accs(source=args.source, out_root=args.out,
+                       seed=args.seed, step=args.step or 2.0,
+                       make_plots=args.plots)
+        print(json.dumps(out, indent=1))
+        return 0
+    if args.config == "barplot":
+        from .pipelines.notebooks import run_barplot
+        print(json.dumps(run_barplot(out_root=args.out), indent=1))
+        return 0
 
     try:
         cfg = get_config(args.config)

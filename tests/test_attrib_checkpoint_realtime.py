@@ -176,3 +176,29 @@ def test_profiling_stage_timer(tmp_path):
     assert "stages_s" in json.load(open(p))
     with trace(None):       # no-op path
         pass
+
+
+def test_accs_and_barplot_drivers(tmp_path):
+    """Notebook-equivalent CLI drivers (ACCs.ipynb / Bar_plot.ipynb)."""
+    import os
+    from s2s_ismr_tpu.pipelines import notebooks
+    out = notebooks.run_accs(models=("ECMWF",), years=(2003, 2007),
+                             out_root=str(tmp_path), step=4.0,
+                             log=lambda *a: None)
+    assert set(out["ECMWF"]) == {"wk1", "wk2", "wk3", "wk4", "wk3-4"}
+    assert all(os.path.exists(p) for p in out["ECMWF"].values())
+
+    # barplot needs saved rpss outputs; fabricate a minimal pair
+    import numpy as np
+    from s2s_ismr_tpu.field import Field
+    from s2s_ismr_tpu.io import write_netcdf
+    coords = {"Y": np.arange(4.0), "X": np.arange(4.0)}
+    rng = np.random.default_rng(0)
+    for arch in ("unet", "ELR"):
+        f = Field(rng.normal(0, 0.1, (2, 4, 4)).astype(np.float32),
+                  ("bootstrap", "Y", "X"), coords, "rpss")
+        write_netcdf(f, str(tmp_path / "outputs" / "Common Period" /
+                            "ECMWF_IMD" / f"{arch}_rpss_test_wk3-4.nc"))
+    paths = notebooks.run_barplot(out_root=str(tmp_path),
+                                  log=lambda *a: None)
+    assert os.path.exists(paths["by_model"])
