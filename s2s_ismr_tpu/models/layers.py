@@ -36,11 +36,14 @@ class Conv2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, tuple(self.kernel_size),
-                       strides=tuple(self.strides), padding=self.padding,
-                       use_bias=self.use_bias, kernel_init=glorot_uniform,
-                       bias_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="conv")(x)
+        y = nn.Conv(self.features, tuple(self.kernel_size),
+                    strides=tuple(self.strides), padding=self.padding,
+                    use_bias=self.use_bias, kernel_init=glorot_uniform,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="conv")(x)
+        # mixed precision: compute in self.dtype (e.g. bf16 on the MXU),
+        # params and downstream activations stay float32
+        return y.astype(jnp.float32) if self.dtype is not None else y
 
 
 class Conv2DTranspose(nn.Module):
@@ -65,12 +68,13 @@ class Conv2DTranspose(nn.Module):
         kernel = self.param("kernel", glorot_uniform,
                             (kh, kw, self.features, in_features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
         y = jax.lax.conv_transpose(
-            x.astype(self.dtype or x.dtype), kernel,
+            x.astype(dt), kernel.astype(dt),
             strides=tuple(self.strides), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True)
-        return y + bias
+        return y.astype(jnp.float32) + bias
 
 
 class BatchNorm(nn.Module):

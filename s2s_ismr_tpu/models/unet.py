@@ -42,6 +42,7 @@ class UNetConfig:
     output: str = "proba"          # 'proba' | 'deterministic'
     dropout_rate: float = 0.0
     conv_backend: str = "auto"     # 'auto' | 'xla' | 'pallas'
+    compute_dtype: str = "auto"    # 'auto' | 'float32' | 'bfloat16'
 
     def block_width(self, k):
         """Width of encoder block k (1-based): filters*4 * 2^(k-1)."""
@@ -69,6 +70,15 @@ class UNet(nn.Module):
         # 'pallas' stays available (parity-tested, ~3x faster to compile).
         from ..kernels import fused_conv_supported
         use_pallas = cfg.conv_backend == "pallas"
+        # bf16 conv compute (f32 params/activations at layer boundaries):
+        # measured +24% training throughput on TPU v5e at identical
+        # val-loss trajectory (PERF.md); 'auto' = bf16 on TPU only
+        if cfg.compute_dtype == "bfloat16" or (
+                cfg.compute_dtype == "auto"
+                and jax.default_backend() == "tpu"):
+            cdt = jnp.bfloat16
+        else:
+            cdt = None
 
         def conv_elu(v, width, name):
             """conv3x3(same)+ELU: fused Pallas kernel on TPU-friendly
@@ -76,7 +86,7 @@ class UNet(nn.Module):
             if use_pallas and fused_conv_supported(
                     v.shape[-3], v.shape[-2], v.shape[-1], width):
                 return PallasConv3x3(width, name=name)(v)
-            return elu(Conv2D(width, name=name)(v))
+            return elu(Conv2D(width, dtype=cdt, name=name)(v))
 
         # encoder
         skips = []
@@ -105,7 +115,7 @@ class UNet(nn.Module):
         for k in range(cfg.n_blocks, 0, -1):
             w = cfg.block_width(k)
             u = Conv2DTranspose(w, cfg.ct_kernel, cfg.ct_stride,
-                                name=f"up{k}_convT")(h)
+                                dtype=cdt, name=f"up{k}_convT")(h)
             u = jnp.concatenate([skips[k - 1], u], axis=-1)
             u = conv_elu(u, w, f"up{k}_conv1")
             u = drop(u)

@@ -122,6 +122,12 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     vars_by_trial: Dict[int, Any] = {}
     total_steps = 0
 
+    # Phase 1: trace every bucket, then COMPILE THEM IN PARALLEL THREADS —
+    # compilation is host/compile-server work, so cold-start for a
+    # multi-bucket grid drops to ~the slowest single program instead of
+    # the sum. Phase 2 dispatches all executions asynchronously (device
+    # queues them back-to-back); phase 3 is the only host sync.
+    jobs = []
     for key_, bucket in buckets.items():
         bs, kern, filt, blocks = key_
         if model_factory is None:
@@ -134,9 +140,8 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         settings = TrainSettings(epochs=epochs, batch_size=bs,
                                  patience=grid.patience)
         lrs = jnp.asarray([t.lr for t in bucket], jnp.float32)
-        R = len(bucket)
 
-        def lane(y_oh, tmask, vmask, lr, key):
+        def lane(y_oh, tmask, vmask, lr, key, model=model, settings=settings):
             best, vloss, _ = train_fold(model, x, y_oh, tmask, vmask, lr,
                                         key, settings)
             return best, vloss, predict(model, best, x)
@@ -146,9 +151,19 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         keys = jnp.stack([
             jnp.stack([_lane_keys(base_seed, f, t.index) for t in bucket])
             for f in range(F)])
-        best_vars, vloss, preds = lanes(y_oh_folds, train_masks, val_masks,
-                                        lrs, keys)
-        total_steps += F * R * epochs * (-(-x.shape[0] // bs))
+        args = (y_oh_folds, train_masks, val_masks, lrs, keys)
+        jobs.append((key_, bucket, lanes.lower(*args), args))
+        total_steps += F * len(bucket) * epochs * (-(-x.shape[0] // bs))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as ex:
+        compiled = list(ex.map(lambda j: j[2].compile(), jobs))
+
+    dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async
+
+    for (key_, bucket, _, _), (best_vars, vloss, preds) in zip(jobs,
+                                                               dispatched):
+        bs, kern, filt, blocks = key_
         vloss = np.asarray(vloss)            # (F, R)
         preds = np.asarray(preds)            # (F, R, T, H, W, 3)
         if verbose:

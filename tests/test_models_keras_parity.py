@@ -180,3 +180,22 @@ def test_cnn_and_mlp_shapes():
     y = np.asarray(mlp.apply(v, jnp.asarray(x[..., 0]), train=False))
     assert y.shape == (2, 16, 16, 3)
     np.testing.assert_allclose(y.sum(-1), 1.0, atol=1e-4)
+
+
+def test_bf16_compute_close_to_f32(rng):
+    """compute_dtype='bfloat16' keeps f32 params and stays close to the
+    f32 forward (mixed-precision path, PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+    from s2s_ismr_tpu.models import UNet, UNetConfig
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    m32 = UNet(UNetConfig(filters=2, n_blocks=2, compute_dtype="float32"))
+    m16 = UNet(UNetConfig(filters=2, n_blocks=2, compute_dtype="bfloat16"))
+    variables = m32.init(jax.random.key(0), x, train=False)
+    leaves = jax.tree.leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    o32 = m32.apply(variables, x, train=False)
+    o16 = m16.apply(variables, x, train=False)
+    assert o16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o32), atol=0.03)
+    np.testing.assert_allclose(np.asarray(o16).sum(-1), 1.0, atol=1e-3)
