@@ -198,6 +198,13 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
     per_model_preds = []
     for n in names:
         x = jnp.asarray(filled[n].predictor_images(cfg.predictor))
+        d = 2 ** max(cfg.tuning.n_blocks)
+        if cfg.architecture == "unet" and (x.shape[1] % d or x.shape[2] % d):
+            raise ValueError(
+                f"model {n}: grid {x.shape[1]}x{x.shape[2]} is not divisible "
+                f"by 2^n_blocks={d} — choose a domain/step that yields a "
+                f"divisible grid or pad via DataBundle.pad_to_grid "
+                f"(reference constraint, tune_ECMWF_com.py:26)")
         t0 = time.time()
         if cfg.architecture == "unet":
             res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
@@ -325,6 +332,22 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
             timer.stage("nn"):
         nn_res = run_nn_branch(cfg, bundles, log, timer=timer)
     arch = cfg.architecture
+
+    # persist per-fold winner models (reference saves then DELETES its
+    # checkpoints, tune_ECMWF_com.py:183-186 — we keep them so the 'load'
+    # training type, realtime forecasting and GradCAM work without
+    # retraining). Directory scheme mirrors models/{dir}{model}_{obs}/{week}
+    # (tune_ECMWF_com.py:37).
+    if save_outputs and nn_res.sweeps:
+        from ..train import checkpoint
+        for n, sweep_res in nn_res.sweeps.items():
+            mdir = os.path.join(out_root, "models", cfg.out_dir,
+                                f"{n}_{cfg.obs}", cfg.week)
+            shp = bundles[n].shape_yx
+            c_in = bundles[n].n_m if cfg.predictor == "multi_predictor" else 1
+            paths[f"winners_{n}"] = checkpoint.save_sweep_winners(
+                sweep_res, mdir, cfg.week, architecture=arch,
+                input_shape=(1, *shp, c_in))
     if save_outputs:
         for tag, fld in [("train", nn_res.rpss_train),
                          ("val", nn_res.rpss_val),

@@ -202,3 +202,28 @@ def test_accs_and_barplot_drivers(tmp_path):
     paths = notebooks.run_barplot(out_root=str(tmp_path),
                                   log=lambda *a: None)
     assert os.path.exists(paths["by_model"])
+
+
+@pytest.mark.slow
+def test_pipeline_persists_winners(tmp_path):
+    """run_pipeline saves per-fold winner checkpoints loadable for
+    realtime (reference deletes its checkpoints; we keep them)."""
+    import os
+    from s2s_ismr_tpu.pipelines import get_config
+    from s2s_ismr_tpu.pipelines.tune import run_pipeline
+    from s2s_ismr_tpu.pipelines.realtime import load_winner_for_realtime
+
+    import dataclasses
+    cfg = dataclasses.replace(get_config("tune_ECMWF_com").fast_variant(),
+                              years=(2003, 2012), epochs=3)
+    out = run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                       synthetic_step=2.0, log=lambda *a: None)
+    assert "winners_ECMWF" in out.paths
+    mdir = os.path.join(str(tmp_path), "models", cfg.out_dir,
+                        "ECMWF_IMD", cfg.week)
+    model, variables = load_winner_for_realtime(mdir, cfg.week)
+    import numpy as np
+    import jax.numpy as jnp
+    x = jnp.asarray(np.zeros((1, 16, 16, 1), np.float32))
+    probs = model.apply(variables, x, train=False)
+    assert probs.shape == (1, 16, 16, 3)
