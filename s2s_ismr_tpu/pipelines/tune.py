@@ -167,7 +167,7 @@ class NNResult:
 
 
 def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
-                  timer=None) -> NNResult:
+                  timer=None, mesh=None) -> NNResult:
     names = list(bundles)
     filled = {n: b.fillna(0.0) for n, b in bundles.items()}
     if cfg.predictor == "stacked":
@@ -208,7 +208,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
         t0 = time.time()
         if cfg.architecture == "unet":
             res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
-                                 epochs=cfg.epochs)
+                                 epochs=cfg.epochs, mesh=mesh)
             log(f"[nn] model {n}: sweep of {res.val_loss_table.shape[1]} "
                 f"trials x {fm.n_folds} folds in {time.time() - t0:.1f}s; "
                 f"winners={[t.hparams() for t in res.best_trial]}")
@@ -302,8 +302,13 @@ class TuneOutputs:
 def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                  make_plots=False, save_outputs=True, seed=0,
                  synthetic_step=None, log=print,
-                 profile_dir=None) -> TuneOutputs:
+                 profile_dir=None, use_mesh="auto") -> TuneOutputs:
     from ..profiling import StageTimer, trace
+    mesh = None
+    if use_mesh and (use_mesh != "auto" or len(jax.devices()) > 1):
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.sweep_mesh()
+        log(f"[mesh] sweep lanes sharded over {mesh.devices.size} devices")
     timer = StageTimer()
     t_start = time.time()
     log(f"####### TUNING {'+'.join(cfg.models)} for {cfg.obs} "
@@ -330,7 +335,7 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     log("########### Neural Network ###########")
     with trace(profile_dir and os.path.join(profile_dir, "nn")), \
             timer.stage("nn"):
-        nn_res = run_nn_branch(cfg, bundles, log, timer=timer)
+        nn_res = run_nn_branch(cfg, bundles, log, timer=timer, mesh=mesh)
     arch = cfg.architecture
 
     # persist per-fold winner models (reference saves then DELETES its

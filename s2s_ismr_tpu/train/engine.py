@@ -112,7 +112,10 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
         (loss, new_stats), grads = grad_fn(params, stats, xb, yb, wb, dkey)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-        ok = jnp.sum(wb) > 0                     # gate no-op padded batches
+        # gate no-op padded batches AND non-finite steps (failure
+        # detection, SURVEY.md section 5: a diverged/NaN batch must not
+        # poison the lane — the reference has no guard at all)
+        ok = (jnp.sum(wb) > 0) & jnp.isfinite(loss)
         params = _tree_where(ok, new_params, params)
         stats = _tree_where(ok, new_stats, stats)
         opt_state = _tree_where(ok, new_opt, opt_state)

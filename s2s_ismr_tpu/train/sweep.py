@@ -100,12 +100,18 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                    grid: TuningGrid, epochs: int = 100, base_seed: int = 42,
                    apool: bool = True, bn: bool = True,
                    model_factory: Callable[[Trial], Any] | None = None,
-                   donate: bool = True, verbose: bool = False) -> SweepResult:
+                   donate: bool = True, verbose: bool = False,
+                   mesh=None) -> SweepResult:
     """Run the full tuning sweep.
 
     x:            (T, H, W, C) predictor images (jnp or np)
     y_oh_folds:   (F, T, H, W, 3) per-fold one-hot labels
     train_masks:  (F, T) bool; val_masks: (F, T) bool
+    mesh:         optional jax.sharding.Mesh — shards the folds x lrs
+                  lane axis over the device mesh via shard_map (lanes are
+                  independent SGD chains: zero hot-loop collectives,
+                  linear scaling; parallel/mesh.py). Lane count is padded
+                  to a device multiple with throwaway replica lanes.
     """
     x = jnp.asarray(x)
     y_oh_folds = jnp.asarray(y_oh_folds)
@@ -146,20 +152,29 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                                         key, settings)
             return best, vloss, predict(model, best, x)
 
-        lanes = jax.jit(jax.vmap(jax.vmap(lane, in_axes=(None, None, None, 0, 0)),
-                                 in_axes=(0, 0, 0, None, 0)))
         keys = jnp.stack([
             jnp.stack([_lane_keys(base_seed, f, t.index) for t in bucket])
             for f in range(F)])
-        args = (y_oh_folds, train_masks, val_masks, lrs, keys)
+        R = len(bucket)
+        if mesh is None:
+            lanes = jax.jit(jax.vmap(
+                jax.vmap(lane, in_axes=(None, None, None, 0, 0)),
+                in_axes=(0, 0, 0, None, 0)))
+            args = (y_oh_folds, train_masks, val_masks, lrs, keys)
+        else:
+            lanes, args = _mesh_lanes(model, settings, mesh, x, y_oh_folds,
+                                      train_masks, val_masks, lrs, keys)
         jobs.append((key_, bucket, lanes.lower(*args), args))
-        total_steps += F * len(bucket) * epochs * (-(-x.shape[0] // bs))
+        total_steps += F * R * epochs * (-(-x.shape[0] // bs))
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as ex:
         compiled = list(ex.map(lambda j: j[2].compile(), jobs))
 
     dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async
+    if mesh is not None:
+        dispatched = [_unflatten_lanes(out, F, len(j[1]))
+                      for out, j in zip(dispatched, jobs)]
 
     for (key_, bucket, _, _), (best_vars, vloss, preds) in zip(jobs,
                                                                dispatched):
@@ -195,6 +210,49 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         winner_configs=winner_cfgs,
         train_steps=total_steps,
     )
+
+
+def _mesh_lanes(model, settings, mesh, x, y_oh_folds, train_masks,
+                val_masks, lrs, keys):
+    """Flatten (F, R) into a lane-major axis, pad to a device multiple,
+    and shard over the mesh (x replicated, everything else lane-sharded)."""
+    from ..parallel import mesh as pmesh
+
+    F, R = keys.shape[:2]
+    L = F * R
+    n_dev = mesh.devices.size
+    pad = (-L) % n_dev
+
+    def lane(xv, y_oh, tmask, vmask, lr, key):
+        best, vloss, _ = train_fold(model, xv, y_oh, tmask, vmask, lr,
+                                    key, settings)
+        return best, vloss, predict(model, best, xv)
+
+    y_l = jnp.repeat(y_oh_folds, R, axis=0)
+    tm_l = jnp.repeat(train_masks, R, axis=0)
+    vm_l = jnp.repeat(val_masks, R, axis=0)
+    lr_l = jnp.tile(lrs, F)
+    key_l = keys.reshape((L,) + keys.shape[2:])
+    if pad:
+        tile0 = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+        y_l, tm_l, vm_l, lr_l, key_l = map(tile0,
+                                           (y_l, tm_l, vm_l, lr_l, key_l))
+
+    lane_args = pmesh.shard_lanes((y_l, tm_l, vm_l, lr_l, key_l), mesh)
+    x_rep = pmesh.replicate(x, mesh)
+    fn = pmesh.shard_map_lanes(lane, mesh, n_shared=1)
+    return fn, (x_rep,) + tuple(lane_args)
+
+
+def _unflatten_lanes(out, F, R):
+    """(L_padded, ...) lane-major outputs back to (F, R, ...).
+
+    Materializes to host first: the outputs are consumed as numpy right
+    after, and eager reshapes of mesh-sharded arrays proved crash-prone
+    on the multi-device CPU client."""
+    return jax.tree.map(
+        lambda a: np.asarray(a)[:F * R].reshape((F, R) + a.shape[1:]), out)
 
 
 def run_fixed_training(model, x, y_oh_folds, train_masks, val_masks,

@@ -145,3 +145,25 @@ def test_fixed_training_mlp_dropout_rng():
     assert np.isfinite(vloss).all()
     assert preds.shape == (1, T, H, H, 3)
     np.testing.assert_allclose(np.asarray(preds).sum(-1), 1.0, atol=1e-5)
+
+
+def test_nonfinite_batch_guard(setup):
+    """A lane driven to divergence (absurd lr) must not poison params:
+    non-finite steps are skipped and the returned best weights stay
+    finite (failure-detection guard, SURVEY.md section 5)."""
+    import jax
+    import jax.numpy as jnp
+    from s2s_ismr_tpu.models import UNet, UNetConfig
+    from s2s_ismr_tpu.train.engine import TrainSettings, train_fold, predict
+
+    b, fm, x, y_oh = setup
+    model = UNet(UNetConfig(filters=1, n_blocks=2))
+    st = TrainSettings(epochs=3, batch_size=8, patience=3)
+    best, vloss, hist = train_fold(model, x, y_oh,
+                                   jnp.asarray(fm.train[0]),
+                                   jnp.asarray(fm.val[0]),
+                                   jnp.float32(1e12), jax.random.key(0), st)
+    leaves = jax.tree.leaves(best["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    preds = predict(model, best, x)
+    assert np.isfinite(np.asarray(preds)).all()

@@ -44,3 +44,41 @@ def test_entry_compiles():
     out = jax.jit(fn)(variables, x)
     assert out.shape == (16, 32, 32, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.slow
+def test_sweep_over_mesh_matches_single_device():
+    """run_unet_sweep(mesh=...) shards folds x lrs lanes over the 8-device
+    virtual mesh and reproduces the single-device sweep's val losses."""
+    import jax
+    import jax.numpy as jnp
+    from s2s_ismr_tpu import timeutils
+    from s2s_ismr_tpu.data import synthetic
+    from s2s_ismr_tpu.grid import Domain
+    from s2s_ismr_tpu.ops import terciles
+    from s2s_ismr_tpu.parallel import mesh as pmesh
+    from s2s_ismr_tpu.train import splits
+    from s2s_ismr_tpu.train.sweep import TuningGrid, run_unet_sweep
+
+    b = synthetic.synthetic_hindcast(years=(2003, 2012), seed=5, signal=0.8,
+                                     domain=Domain(67, 98, 7, 38), step=2.0)
+    b = b.fillna(0.0)
+    fm = splits.bootstrap_masks(b.years, n_bootstraps=3)
+    wm = timeutils.week_window_matrix(1)
+    labels = jax.vmap(
+        lambda pm: terciles.fit_and_label(b.y, b.weeks, pm, wm, None)[0]
+    )(jnp.asarray(fm.train))
+    y_oh = jnp.nan_to_num(terciles.one_hot_labels(labels), nan=0.0)
+    x = jnp.asarray(b.ensemble_mean()[..., None])
+    grid = TuningGrid(n_blocks=(2,), n_filters=(1,), ct_kernels=((3, 3),),
+                      batch_sizes=(16,), learning_rates=(1e-3, 1e-4),
+                      patience=4)
+
+    res1 = run_unet_sweep(x, y_oh, fm.train, fm.val, grid, epochs=4)
+    mesh = pmesh.sweep_mesh(8)
+    res8 = run_unet_sweep(x, y_oh, fm.train, fm.val, grid, epochs=4,
+                          mesh=mesh)
+    np.testing.assert_allclose(res8.val_loss_table, res1.val_loss_table,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        [t.index for t in res8.best_trial], [t.index for t in res1.best_trial])
