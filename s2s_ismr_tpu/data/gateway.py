@@ -252,6 +252,44 @@ def get_obs(model, obs, domain, week, years, season, out_dir="",
     return y.isel(T=np.where(keep)[0])
 
 
+def get_gefs_climatology(domain, lead, download=True, cache_dir="download",
+                         cookies="cookies.txt", log=print):
+    """Fetch the GEFS dc0018 lead-dependent climatology and average it
+    over the lead-day window (ACCs.ipynb cell 28: open, L->days,
+    sel(L=lead window).mean('L')). Returns (s_dates (S,) datetime64,
+    clim (S, Y, X) float32)."""
+    url = iridl.gefs_climatology_url(domain)
+    fname = os.path.join(cache_dir, "gefs_climo.nc")
+    fetch(url, fname, download, cookies, log)
+    da = open_netcdf_da(fname, var_names=("pr",))
+    s = timeutils.to_datetime64(da.coords["S"])
+    lvals = np.asarray(da.coords["L"], np.float64)   # lead days
+    keep = (lvals >= lead[0] - 0.01) & (lvals <= lead[1] + 0.99)
+    axes = list(da.dims)
+    li = axes.index("L")
+    vals = np.take(np.asarray(da.values, np.float32),
+                   np.where(keep)[0], axis=li).mean(axis=li)
+    # remaining dims (S, Y, X) in file order
+    return s, vals
+
+
+def external_clim_for_times(t, lead, s_dates, clim):
+    """Build a per-sample (T, Y, X) climatology by matching each sample's
+    start date S = T - mean(lead) to the climatology's S month/day
+    (ACCs.ipynb cell 38). Unmatched samples get the nearest
+    day-of-year entry."""
+    t = timeutils.to_datetime64(t)
+    mid = (lead[0] + lead[1]) / 2.0
+    s_est = t - np.timedelta64(1, "h") * int(round(mid * 24))
+    doy_clim = timeutils.day_of_year(s_dates)
+    doy_t = timeutils.day_of_year(s_est)
+    # nearest day-of-year with wraparound
+    d = np.abs(doy_t[:, None] - doy_clim[None, :])
+    d = np.minimum(d, 366 - d)
+    idx = np.argmin(d, axis=1)
+    return clim[idx]
+
+
 def to_bundle(x: Field, y: Field, name="") -> DataBundle:
     return DataBundle(x=x.values, y=y.values, t=x.coords["T"],
                       lats=np.asarray(x.coords.get("Y")),

@@ -129,6 +129,15 @@ class Request:
     cache_name: str
 
 
+def gefs_climatology_url(domain) -> str:
+    """GEFS lead-dependent model climatology (dc0018) subset to the
+    domain — the external-climatology ACC path (ACCs.ipynb cell 28)."""
+    west, east, south, north = domain
+    return (f"{BASE}SOURCES/.Models/.SubX/.EMC/.GEFSv12_CPC/.hindcast/"
+            f".dc0018/.pr/Y/{south}/{north}/RANGE/X/{west}/{east}/RANGE/"
+            f"data.nc")
+
+
 def hindcast_url(model, years, lead, season, domain, regrid=None,
                  fcast_year=2023) -> str:
     """Predictor (hindcast) request for one source key."""

@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write jax.profiler traces + stage timings to DIR")
+    ap.add_argument("--models", default=None,
+                    help="comma-separated model list for `accs`")
     args = ap.parse_args(argv)
 
     from .pipelines import CONFIGS, get_config
@@ -55,9 +57,12 @@ def main(argv=None):
 
     if args.config == "accs":
         from .pipelines.notebooks import run_accs
+        kw = {}
+        if args.models:
+            kw["models"] = tuple(args.models.split(","))
         out = run_accs(source=args.source, out_root=args.out,
                        seed=args.seed, step=args.step or 2.0,
-                       make_plots=args.plots)
+                       make_plots=args.plots, **kw)
         print(json.dumps(out, indent=1))
         return 0
     if args.config == "barplot":

@@ -38,6 +38,11 @@ def month(t):
     return idx.month.to_numpy().astype(np.int32)
 
 
+def day_of_year(t):
+    idx = pd.DatetimeIndex(to_datetime64(t))
+    return idx.dayofyear.to_numpy().astype(np.int32)
+
+
 def week_window(week, window=1):
     """Weeks pooled for a target week, with the reference's 53-week
     wraparound ``(week + i) % 53 or 53`` (preprocessing.py:114)."""

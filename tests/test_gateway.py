@@ -169,3 +169,24 @@ def test_forecast_url_ecmwf_cycle_cutover():
     assert "CY41-47" in u1 and "CY48" in u2    # dataloader.py:373-379
     u3 = iridl.forecast_url("GEFS", 1, "Jul", 2023, (2, 8), (67, 98, 7, 38))
     assert "86400/mul" in u3                   # GEFS m/s -> mm/day scale
+
+
+def test_gefs_climatology_url_and_matching():
+    """dc0018 external-climatology path (ACCs.ipynb cells 28/38)."""
+    import numpy as np
+    from s2s_ismr_tpu.data import gateway, iridl
+
+    url = iridl.gefs_climatology_url((67, 98, 7, 38))
+    assert ".dc0018/.pr" in url and "Y/7/38/RANGE" in url \
+        and "X/67/98/RANGE" in url
+
+    # per-sample matching: climatology entries every ~7 days of 2000
+    s_dates = np.array([f"2000-06-{d:02d}" for d in (1, 8, 15, 22, 29)],
+                       dtype="datetime64[D]")
+    clim = np.arange(5, dtype=np.float32)[:, None, None] * np.ones(
+        (5, 2, 2), np.float32)
+    # sample with T = S + 23 days, S = 2018-06-15 -> entry index 2
+    t = np.array(["2018-07-08"], dtype="datetime64[D]")
+    out = gateway.external_clim_for_times(t, (16, 30), s_dates, clim)
+    assert out.shape == (1, 2, 2)
+    np.testing.assert_allclose(out[0], 2.0)
