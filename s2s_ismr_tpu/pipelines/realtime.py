@@ -126,3 +126,63 @@ def load_winner_for_realtime(models_dir, week, architecture="unet"):
     best = min(manifest, key=lambda e: e["val_loss"])
     return checkpoint.load_winner(models_dir, week, best["fold"],
                                   architecture)
+
+
+def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
+                      synthetic_step=None, log=print):
+    """CLI driver: load the tuned winner for `cfg`, evaluate held-out
+    'realtime' forecasts, write probability/RPSS/GradCAM netcdfs.
+
+    With source='synthetic' the final year of the synthetic record plays
+    the realtime period (the reference evaluated its 2023 forecasts the
+    same way, against hindcast-fitted terciles); with source='iridl' the
+    forecasts come from gateway.download_forecast.
+    """
+    import os
+    from ..field import Field
+    from ..io import write_netcdf
+    from .tune import load_bundles
+
+    model_name = cfg.models[0]
+    mdir = os.path.join(out_root, "models", cfg.out_dir,
+                        f"{model_name}_{cfg.obs}", cfg.week)
+    model, variables = load_winner_for_realtime(mdir, cfg.week,
+                                                cfg.architecture)
+
+    bundles = load_bundles(cfg, source, seed=seed,
+                           synthetic_step=synthetic_step)
+    b = bundles[model_name].fillna(0.0)
+    years = b.years
+    rt = years == years.max()             # realtime period = final year
+    hc = ~rt
+    x_rt = b.ensemble_mean()[rt][..., None]
+    rng = np.random.default_rng(seed)
+    rmm = rng.normal(0, 1.2, size=(int(rt.sum()), 2))      # synthetic RMM
+    nino = rng.normal(0, 0.8, size=int(rt.sum()))          # synthetic N3.4
+
+    res = evaluate_realtime(
+        model, variables, x_rt, b.y[hc], b.weeks[hc], b.weeks[rt],
+        obs=bundles[model_name].y[rt], rmm=rmm, nino34=nino)
+
+    out_dir = os.path.join(out_root, "outputs", "Realtime",
+                           f"{model_name}_{cfg.obs}")
+    coords = {"Y": b.lats, "X": b.lons}
+    paths = {
+        "probs": write_netcdf(
+            Field(res.probs[..., 2], ("T", "Y", "X"), coords, "p_above"),
+            os.path.join(out_dir, f"probs_above_{cfg.week}.nc")),
+        "gradcam": write_netcdf(
+            Field(res.gradcam_maps, ("T", "Y", "X"), coords, "gradcam"),
+            os.path.join(out_dir, f"gradcam_{cfg.week}.nc")),
+    }
+    if res.rpss_map is not None:
+        paths["rpss"] = write_netcdf(
+            Field(res.rpss_map[None], ("bootstrap", "Y", "X"), coords,
+                  "rpss"),
+            os.path.join(out_dir, f"rpss_realtime_{cfg.week}.nc"))
+    log(f"[realtime] {model_name} {cfg.week}: "
+        f"{res.probs.shape[0]} forecasts, mean RPSS "
+        f"{np.nanmean(res.rpss_map) if res.rpss_map is not None else 'n/a'}; "
+        f"MJO composites: {sorted(res.mjo_composites)}; "
+        f"ENSO composites: {sorted(res.enso_composites)}")
+    return res, paths

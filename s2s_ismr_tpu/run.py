@@ -37,6 +37,9 @@ def main(argv=None):
                     help="write jax.profiler traces + stage timings to DIR")
     ap.add_argument("--models", default=None,
                     help="comma-separated model list for `accs`")
+    ap.add_argument("--from-config", dest="from_config",
+                    default="tune_ECMWF_com",
+                    help="tune config whose winners `realtime` evaluates")
     args = ap.parse_args(argv)
 
     from .pipelines import CONFIGS, get_config
@@ -46,6 +49,8 @@ def main(argv=None):
                   f"years={cfg.years} week={cfg.week} dir={cfg.out_dir!r}")
         print("accs               CC/ACC skill-map sweep (ACCs.ipynb)")
         print("barplot            RPSS boxplot aggregation (Bar_plot.ipynb)")
+        print("realtime           realtime eval + GradCAM + MJO/ENSO "
+              "(Realtime_fcast_MME)")
         return 0
 
     if args.cpu:
@@ -68,6 +73,14 @@ def main(argv=None):
     if args.config == "barplot":
         from .pipelines.notebooks import run_barplot
         print(json.dumps(run_barplot(out_root=args.out), indent=1))
+        return 0
+    if args.config == "realtime":
+        from .pipelines.realtime import run_realtime_eval
+        cfg = get_config(args.from_config)
+        _, paths = run_realtime_eval(cfg, out_root=args.out,
+                                     source=args.source, seed=args.seed,
+                                     synthetic_step=args.step)
+        print(json.dumps(paths, indent=1))
         return 0
 
     try:

@@ -227,3 +227,13 @@ def test_pipeline_persists_winners(tmp_path):
     x = jnp.asarray(np.zeros((1, 16, 16, 1), np.float32))
     probs = model.apply(variables, x, train=False)
     assert probs.shape == (1, 16, 16, 3)
+
+    # realtime eval driver consumes the same winners end-to-end
+    from s2s_ismr_tpu.pipelines.realtime import run_realtime_eval
+    res, paths = run_realtime_eval(cfg, out_root=str(tmp_path),
+                                   synthetic_step=2.0,
+                                   log=lambda *a: None)
+    assert res.probs.shape[-1] == 3
+    assert res.gradcam_maps.shape == res.probs.shape[:-1]
+    assert res.mjo_composites and res.enso_composites
+    assert all(os.path.exists(p) for p in paths.values())
