@@ -210,7 +210,8 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
             res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
                                  epochs=cfg.epochs, mesh=mesh)
             log(f"[nn] model {n}: sweep of {res.val_loss_table.shape[1]} "
-                f"trials x {fm.n_folds} folds in {time.time() - t0:.1f}s; "
+                f"trials x {fm.n_folds} folds in {time.time() - t0:.1f}s "
+                f"{res.timings}; "
                 f"winners={[t.hparams() for t in res.best_trial]}")
             sweeps[n] = res
             preds_n = res.predictions

@@ -86,6 +86,7 @@ class SweepResult:
     winner_variables: List[Any]          # per fold: flax variables (host)
     winner_configs: List[UNetConfig]     # per fold
     train_steps: int = 0                 # total optimizer steps executed
+    timings: Dict[str, float] = field(default_factory=dict)  # phase seconds
 
 
 def _lane_keys(base_seed, fold_idx, trial_idx):
@@ -124,7 +125,6 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     n_trials = len(trials)
 
     val_table = np.full((F, n_trials), np.inf, np.float32)
-    preds_by_trial: Dict[int, np.ndarray] = {}
     vars_by_trial: Dict[int, Any] = {}
     total_steps = 0
 
@@ -150,7 +150,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         def lane(y_oh, tmask, vmask, lr, key, model=model, settings=settings):
             best, vloss, _ = train_fold(model, x, y_oh, tmask, vmask, lr,
                                         key, settings)
-            return best, vloss, predict(model, best, x)
+            return best, vloss
 
         keys = jnp.stack([
             jnp.stack([_lane_keys(base_seed, f, t.index) for t in bucket])
@@ -167,37 +167,59 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         jobs.append((key_, bucket, lanes.lower(*args), args))
         total_steps += F * R * epochs * (-(-x.shape[0] // bs))
 
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
+    t0 = _time.perf_counter()
     with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as ex:
         compiled = list(ex.map(lambda j: j[2].compile(), jobs))
+    t_compile = _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async
+    jax.tree.map(lambda a: a.block_until_ready(), dispatched[-1][1])
+    t_execute = _time.perf_counter() - t0
     if mesh is not None:
         dispatched = [_unflatten_lanes(out, F, len(j[1]))
                       for out, j in zip(dispatched, jobs)]
+    t0 = _time.perf_counter()
 
-    for (key_, bucket, _, _), (best_vars, vloss, preds) in zip(jobs,
-                                                               dispatched):
+    # Only val losses cross to the host here. Trained variables stay on
+    # device; predictions for non-winning trials are never computed at all
+    # (the old path ran + transferred every trial's full-T forward —
+    # ~1GB of useless host traffic for a 24-trial grid).
+    model_by_trial: Dict[int, Any] = {}
+    for bpos, ((key_, bucket, _, _), (best_vars, vloss)) in enumerate(
+            zip(jobs, dispatched)):
         bs, kern, filt, blocks = key_
         vloss = np.asarray(vloss)            # (F, R)
-        preds = np.asarray(preds)            # (F, R, T, H, W, 3)
         if verbose:
             print(f"bucket bs={bs} kern={kern} filt={filt} blocks={blocks}: "
                   f"val_loss min={vloss.min():.4f}")
         for r, t in enumerate(bucket):
             val_table[:, t.index] = vloss[:, r]
-            preds_by_trial[t.index] = preds[:, r]
-            vars_by_trial[t.index] = jax.tree.map(
-                lambda a, rr=r: np.asarray(a[:, rr]), best_vars)
+            vars_by_trial[t.index] = (bpos, r)
+            model_by_trial[t.index] = _bucket_model(
+                t, apool, bn, model_factory)
 
     # winner per fold: first strict minimum in product order (reference
     # tie-break via `<`, training.py:108)
     best_idx = np.argmin(val_table, axis=1)  # argmin returns first min
     best_trials = [trials[i] for i in best_idx]
-    predictions = np.stack([preds_by_trial[best_idx[f]][f] for f in range(F)])
-    winner_vars = [jax.tree.map(lambda a, f=f: a[f],
-                                vars_by_trial[best_idx[f]])
-                   for f in range(F)]
+    winner_vars, predictions = [], []
+    pred_jit: Dict[tuple, Any] = {}
+    for f in range(F):
+        ti = int(best_idx[f])
+        bpos, r = vars_by_trial[ti]
+        best_vars = dispatched[bpos][0]
+        vf = jax.tree.map(lambda a: a[f, r], best_vars)
+        model_f = model_by_trial[ti]
+        key_ = jobs[bpos][0]
+        if key_ not in pred_jit:
+            pred_jit[key_] = jax.jit(
+                lambda v, m=model_f: predict(m, v, x))
+        predictions.append(np.asarray(pred_jit[key_](vf)))
+        winner_vars.append(jax.tree.map(np.asarray, vf))
+    predictions = np.stack(predictions)
     winner_cfgs = [UNetConfig(filters=t.filters, n_blocks=t.n_blocks,
                               ct_kernel=t.ct_kernel, apool=apool, bn=bn)
                    for t in best_trials]
@@ -209,7 +231,17 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         winner_variables=winner_vars,
         winner_configs=winner_cfgs,
         train_steps=total_steps,
+        timings={"compile_s": round(t_compile, 2),
+                 "execute_s": round(t_execute, 2),
+                 "collect_s": round(_time.perf_counter() - t0, 2)},
     )
+
+
+def _bucket_model(trial: Trial, apool, bn, model_factory):
+    if model_factory is not None:
+        return model_factory(trial)
+    return UNet(UNetConfig(filters=trial.filters, n_blocks=trial.n_blocks,
+                           ct_kernel=trial.ct_kernel, apool=apool, bn=bn))
 
 
 def _mesh_lanes(model, settings, mesh, x, y_oh_folds, train_masks,
@@ -226,7 +258,7 @@ def _mesh_lanes(model, settings, mesh, x, y_oh_folds, train_masks,
     def lane(xv, y_oh, tmask, vmask, lr, key):
         best, vloss, _ = train_fold(model, xv, y_oh, tmask, vmask, lr,
                                     key, settings)
-        return best, vloss, predict(model, best, xv)
+        return best, vloss
 
     y_l = jnp.repeat(y_oh_folds, R, axis=0)
     tm_l = jnp.repeat(train_masks, R, axis=0)
