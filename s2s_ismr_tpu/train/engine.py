@@ -46,6 +46,11 @@ class TrainSettings:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-7            # Keras Adam epsilon (not optax's 1e-8)
+    val_rows: int | None = None  # static upper bound on validation rows:
+    # the per-epoch val loss is evaluated on a compacted (val_rows, ...)
+    # gather instead of the full masked T axis — exact same masked-CE
+    # value (weights zero any overshoot), ~T/val_rows x cheaper. None =
+    # evaluate over full T.
 
 
 def _tree_where(pred, a, b):
@@ -121,10 +126,21 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
         opt_state = _tree_where(ok, new_opt, opt_state)
         return (params, stats, opt_state), loss
 
+    if settings.val_rows is not None and settings.val_rows < T:
+        # compacted validation set: val rows first (stable argsort), fixed
+        # static size; any slot past this lane's true count carries w=0
+        vidx = jnp.argsort(jnp.logical_not(val_mask).astype(jnp.int32),
+                           stable=True)[:settings.val_rows]
+        x_val, y_val = x[vidx], y_onehot[vidx]
+        w_val = val_mask[vidx].astype(jnp.float32)
+    else:
+        x_val, y_val = x, y_onehot
+        w_val = val_mask.astype(jnp.float32)
+
     def val_loss_fn(p, stats):
-        out = model.apply({"params": p, "batch_stats": stats}, x, train=False)
-        return categorical_crossentropy(out, y_onehot,
-                                        val_mask.astype(jnp.float32))
+        out = model.apply({"params": p, "batch_stats": stats}, x_val,
+                          train=False)
+        return categorical_crossentropy(out, y_val, w_val)
 
     def epoch_step(carry, ekey):
         params, stats, opt_state, best = carry

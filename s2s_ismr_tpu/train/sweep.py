@@ -144,7 +144,9 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             model = model_factory(bucket[0])
             cfg = getattr(model, "config", None)
         settings = TrainSettings(epochs=epochs, batch_size=bs,
-                                 patience=grid.patience)
+                                 patience=grid.patience,
+                                 val_rows=int(np.asarray(val_masks)
+                                              .sum(1).max()))
         lrs = jnp.asarray([t.lr for t in bucket], jnp.float32)
 
         def lane(y_oh, tmask, vmask, lr, key, model=model, settings=settings):

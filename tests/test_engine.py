@@ -167,3 +167,21 @@ def test_nonfinite_batch_guard(setup):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     preds = predict(model, best, x)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_val_rows_compaction_exact(setup):
+    """val_rows compaction must give the exact same best val loss and
+    history as full-T masked evaluation."""
+    b, fm, x, y_oh = setup
+    tm, vm = jnp.asarray(fm.train[0]), jnp.asarray(fm.val[0])
+    st_full = TrainSettings(epochs=4, batch_size=16, patience=4)
+    st_fast = TrainSettings(epochs=4, batch_size=16, patience=4,
+                            val_rows=int(np.asarray(vm).sum()) + 3)
+    model = UNet(SMALL)
+    _, v1, h1 = train_fold(model, x, y_oh, tm, vm, jnp.float32(1e-3),
+                           jax.random.key(1), st_full)
+    _, v2, h2 = train_fold(model, x, y_oh, tm, vm, jnp.float32(1e-3),
+                           jax.random.key(1), st_fast)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
