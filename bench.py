@@ -53,7 +53,8 @@ def main():
     x = jnp.asarray(b.ensemble_mean()[..., None])
 
     model = UNet(UNetConfig(filters=2, n_blocks=3, ct_kernel=(3, 3)))
-    st = TrainSettings(epochs=epochs, batch_size=16, patience=epochs)
+    st = TrainSettings(epochs=epochs, batch_size=16, patience=epochs,
+                       val_rows=int(np.asarray(fm.val).sum(1).max()))
     T = x.shape[0]
     n_batches = -(-T // st.batch_size)
     steps_per_lane = epochs * n_batches

@@ -53,7 +53,24 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
                                     season="May-Sep", custom_lead=lead)
             return gateway.to_bundle(x, y, name=f"{model}_{obs}")
 
-        maps = analysis.weekly_lead_sweep(make_bundle, leads)
+        if model == "GEFS" and source == "iridl":
+            # GEFS ACC uses the dc0018 lead-dependent model climatology
+            # instead of the sample weekly mean (ACCs.ipynb cells 28/38)
+            from ..data import gateway
+
+            def make_clim(lead, bundle):
+                s_dates, clim = gateway.get_gefs_climatology(
+                    domain.as_tuple(), lead, log=log)
+                return gateway.external_clim_for_times(
+                    bundle.t, lead, s_dates, clim)
+        else:
+            make_clim = None
+
+        maps = {}
+        for wk, lead in leads.items():
+            b = make_bundle(lead)
+            ext = make_clim(lead, b) if make_clim else None
+            maps[wk] = analysis.compute_skill_maps(b, external_clim=ext)
         out_dir = os.path.join(out_root, "outputs", "ACC", f"{model}_{obs}")
         paths = {}
         for wk, sm in maps.items():
