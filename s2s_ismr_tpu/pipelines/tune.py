@@ -116,14 +116,17 @@ def run_elr_branch(cfg: PipelineConfig, bundles, log=print) -> ElrResult:
     wm = timeutils.week_window_matrix(1)
     weeks = first.weeks
 
-    targets, labels = [], []
-    for f in range(fm.n_folds):
-        e, p = terciles.rolling_edges(y_shared, weeks, fm.train[f], wm)
-        targets.append(np.asarray(terciles.elr_targets(y_shared, weeks, e, p)))
-        labels.append(np.asarray(
-            terciles.label_terciles(y_shared, weeks, e, p, True)))
-    targets = np.stack(targets)
-    labels = np.stack(labels)
+    def fold_fit(pm):
+        e, p = terciles.rolling_edges(y_shared, weeks, pm, wm)
+        return (terciles.elr_targets(y_shared, weeks, e, p),
+                terciles.label_terciles(y_shared, weeks, e, p, True))
+
+    # all folds fitted in ONE vmapped program (the reference refits the
+    # labeler per fold in Python; the per-fold loop here used to cost a
+    # compile + host sync per fold)
+    targets, labels = jax.jit(jax.vmap(fold_fit))(jnp.asarray(fm.train))
+    targets = np.asarray(targets)
+    labels = np.asarray(labels)
 
     per_model_probs = []
     for n in names:
