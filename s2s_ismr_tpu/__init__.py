@@ -13,12 +13,18 @@ Layout:
   timeutils  ISO-calendar week/year machinery
   io         NetCDF classic read/write
   data       IRIDL gateway, synthetic generator, device packing (DataBundle)
-  ops        on-device kernels: quantiles, tercile labeling, metrics, ELR, conv
-  models     U-Net / CNN / MLP with Keras-semantics layers
-  train      splits, losses, epoch engine (lax.scan), tuning sweep (vmap)
-  parallel   device mesh + lane sharding
-  pipelines  one declarative config per reference tune_*.py script
-  viz        maps, reliability diagrams, region masks
+  ops        on-device stats: quantiles, tercile labeling, metrics, ELR IRLS
+  kernels    native layer: Pallas TPU kernels (fused conv, custom VJP)
+  models     U-Net / CNN / MLP with Keras-semantics layers, bf16 option
+  train      splits, losses, scan engine, bucketed vmap sweep, checkpoints
+  parallel   device mesh + lane sharding (shard_map) + collectives
+  pipelines  tune configs (one per reference script), notebooks drivers
+             (accs/barplot), realtime eval
+  analysis   CC/ACC maps, RPSS aggregation (the reference's notebooks)
+  attrib     GradCAM / saliency attribution
+  viz        maps, reliability diagrams, shapefile region masks
+  profiling  jax.profiler traces, stage timers, steps/sec
+  compile_cache  persistent XLA compilation cache
 """
 
 __version__ = "0.1.0"

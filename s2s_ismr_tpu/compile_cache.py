@@ -22,11 +22,19 @@ _enabled = False
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Idempotently enable JAX's persistent compilation cache.
 
-    Returns the cache dir, or None if disabled via S2S_ISMR_COMPILE_CACHE=0.
+    Returns the cache dir, or None when disabled — via
+    S2S_ISMR_COMPILE_CACHE=0, or automatically under the axon
+    remote-compile TPU plugin, whose runtime ABORTS when executing a
+    deserialized cached executable (measured: cache *hit* -> "TPU
+    backend error (Aborted)"; set S2S_ISMR_COMPILE_CACHE to a directory
+    to force-enable anyway).
     """
     global _enabled
     d = cache_dir or _DEFAULT_DIR
     if d in ("0", "off", "none"):
+        return None
+    if (os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
+            and not os.environ.get("S2S_ISMR_COMPILE_CACHE")):
         return None
     if _enabled:
         return d
