@@ -259,7 +259,8 @@ def get_gefs_climatology(domain, lead, download=True, cache_dir="download",
     sel(L=lead window).mean('L')). Returns (s_dates (S,) datetime64,
     clim (S, Y, X) float32)."""
     url = iridl.gefs_climatology_url(domain)
-    fname = os.path.join(cache_dir, "gefs_climo.nc")
+    dom = "_".join(str(v) for v in domain)
+    fname = os.path.join(cache_dir, f"gefs_climo_{dom}.nc")
     fetch(url, fname, download, cookies, log)
     da = open_netcdf_da(fname, var_names=("pr",))
     s = timeutils.to_datetime64(da.coords["S"])

@@ -21,7 +21,6 @@ import numpy as np
 from .. import analysis
 from ..field import Field
 from ..io import write_netcdf
-from .configs import LEAD_MAPPING
 
 # ACCs.ipynb lead windows (cells 4-8); ECMWF wk4 runs to day 30
 ACC_LEADS = {"wk1": (2, 8), "wk2": (9, 15), "wk3": (16, 22),
@@ -40,14 +39,16 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
     for model in models:
         leads = ACC_LEADS_ECMWF if model == "ECMWF" else ACC_LEADS
 
-        def make_bundle(lead, model=model):
+        def make_bundle(wk, lead, model=model):
             if source == "synthetic":
                 from ..data import synthetic
                 return synthetic.synthetic_hindcast(
                     model=model, obs=obs, years=years, domain=domain,
                     step=step, seed=seed, lead=lead)
             from ..data import gateway
-            x, y = gateway.get_data(years=years, download=True, week="wk3-4",
+            # week=wk keys the download cache per lead window — a shared
+            # name would silently serve one lead's data for another
+            x, y = gateway.get_data(years=years, download=True, week=wk,
                                     model=model, obs=obs,
                                     domain=domain.as_tuple(),
                                     season="May-Sep", custom_lead=lead)
@@ -55,12 +56,15 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
 
         if model == "GEFS" and source == "iridl":
             # GEFS ACC uses the dc0018 lead-dependent model climatology
-            # instead of the sample weekly mean (ACCs.ipynb cells 28/38)
+            # instead of the sample weekly mean (ACCs.ipynb cells 28/38);
+            # the file is lead-independent, so download it once
             from ..data import gateway
+            _clim_dl = {"download": True}
 
             def make_clim(lead, bundle):
                 s_dates, clim = gateway.get_gefs_climatology(
-                    domain.as_tuple(), lead, log=log)
+                    domain.as_tuple(), lead, log=log, **_clim_dl)
+                _clim_dl["download"] = False
                 return gateway.external_clim_for_times(
                     bundle.t, lead, s_dates, clim)
         else:
@@ -68,7 +72,7 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
 
         maps = {}
         for wk, lead in leads.items():
-            b = make_bundle(lead)
+            b = make_bundle(wk, lead)
             ext = make_clim(lead, b) if make_clim else None
             maps[wk] = analysis.compute_skill_maps(b, external_clim=ext)
         out_dir = os.path.join(out_root, "outputs", "ACC", f"{model}_{obs}")

@@ -102,8 +102,14 @@ def evaluate_realtime(model, variables, x_images, hindcast_obs,
         climo = np.full_like(probs, 1.0 / 3.0)
         rpss_map = np.asarray(metrics.rpss(climo, probs, labels))
 
-    cams = np.asarray(attrib.gradcam(model, variables, x,
-                                     category=gradcam_category))
+    try:
+        cams = np.asarray(attrib.gradcam(model, variables, x,
+                                         category=gradcam_category))
+    except (KeyError, TypeError):
+        # model has no bottleneck tap (CNN/MLP take no bottleneck_delta and
+        # sow no intermediates) — fall back to input-gradient saliency
+        cams = np.asarray(attrib.saliency(model, variables, x,
+                                          category=gradcam_category))
 
     res = RealtimeResult(probs=probs, labels=labels, rps_map=rps_map,
                          rpss_map=rpss_map, gradcam_maps=cams)
@@ -129,14 +135,19 @@ def load_winner_for_realtime(models_dir, week, architecture="unet"):
 
 
 def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
-                      synthetic_step=None, log=print):
+                      synthetic_step=None, rmm=None, nino34=None,
+                      log=print):
     """CLI driver: load the tuned winner for `cfg`, evaluate held-out
     'realtime' forecasts, write probability/RPSS/GradCAM netcdfs.
 
-    With source='synthetic' the final year of the synthetic record plays
-    the realtime period (the reference evaluated its 2023 forecasts the
-    same way, against hindcast-fitted terciles); with source='iridl' the
-    forecasts come from gateway.download_forecast.
+    The final year of the record plays the realtime period, scored
+    against hindcast-fitted terciles (the reference evaluated its 2023
+    forecasts the same way; true operational fetches are available via
+    gateway.download_forecast/get_obs for custom flows). MJO/ENSO
+    composites require real index series via `rmm` ((T,2) RMM1/RMM2) and
+    `nino34` ((T,) anomalies); with source='synthetic' absent indices are
+    filled with synthetic stand-ins so the composite machinery runs —
+    they are never fabricated for real data.
     """
     import os
     from ..field import Field
@@ -149,20 +160,26 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
     model, variables = load_winner_for_realtime(mdir, cfg.week,
                                                 cfg.architecture)
 
+    if cfg.predictor == "stacked":
+        raise ValueError("realtime eval does not support the stacked "
+                         "predictor mode (members are batch rows there)")
     bundles = load_bundles(cfg, source, seed=seed,
                            synthetic_step=synthetic_step)
     b = bundles[model_name].fillna(0.0)
     years = b.years
     rt = years == years.max()             # realtime period = final year
     hc = ~rt
-    x_rt = b.ensemble_mean()[rt][..., None]
-    rng = np.random.default_rng(seed)
-    rmm = rng.normal(0, 1.2, size=(int(rt.sum()), 2))      # synthetic RMM
-    nino = rng.normal(0, 0.8, size=int(rt.sum()))          # synthetic N3.4
+    x_rt = b.predictor_images(cfg.predictor)[rt]
+    if source == "synthetic":
+        rng = np.random.default_rng(seed)
+        if rmm is None:
+            rmm = rng.normal(0, 1.2, size=(int(rt.sum()), 2))
+        if nino34 is None:
+            nino34 = rng.normal(0, 0.8, size=int(rt.sum()))
 
     res = evaluate_realtime(
         model, variables, x_rt, b.y[hc], b.weeks[hc], b.weeks[rt],
-        obs=bundles[model_name].y[rt], rmm=rmm, nino34=nino)
+        obs=bundles[model_name].y[rt], rmm=rmm, nino34=nino34)
 
     out_dir = os.path.join(out_root, "outputs", "Realtime",
                            f"{model_name}_{cfg.obs}")

@@ -167,6 +167,8 @@ class NNResult:
     masks: splits.FoldMasks
     sweeps: Dict[str, SweepResult]
     best_hparams: list
+    fixed_winners: Dict[str, tuple] = field(default_factory=dict)
+    # per model: (var_list, val_losses) for cnn/mlp fixed training
 
 
 def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
@@ -198,6 +200,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
 
     sweeps: Dict[str, SweepResult] = {}
     hparams_by_model: Dict[str, list] = {}
+    fixed_winners: Dict[str, tuple] = {}
     per_model_preds = []
     for n in names:
         x = jnp.asarray(filled[n].predictor_images(cfg.predictor))
@@ -227,9 +230,10 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
             model = _make_architecture(cfg.architecture, x.shape)
             g = cfg.tuning
             lr, bs = g.learning_rates[0], g.batch_sizes[0]
-            vloss, preds_n, _ = run_fixed_training(
+            vloss, preds_n, var_list = run_fixed_training(
                 model, x, y_oh, fm.train, fm.val, lr=lr, batch_size=bs,
                 epochs=cfg.epochs, patience=g.patience)
+            fixed_winners[n] = (var_list, vloss)
             log(f"[nn] model {n}: {cfg.architecture} x {fm.n_folds} folds "
                 f"in {time.time() - t0:.1f}s; val_loss={vloss.round(4)}")
             hparams_by_model[n] = [
@@ -264,7 +268,8 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
         predictions=preds, labels=labels, masks=fm, sweeps=sweeps,
         best_hparams=[
             {n: hparams_by_model[n][f] for n in names}
-            for f in range(fm.n_folds)])
+            for f in range(fm.n_folds)],
+        fixed_winners=fixed_winners)
 
 
 def _make_architecture(arch: str, x_shape):
@@ -347,16 +352,26 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     # training type, realtime forecasting and GradCAM work without
     # retraining). Directory scheme mirrors models/{dir}{model}_{obs}/{week}
     # (tune_ECMWF_com.py:37).
-    if save_outputs and nn_res.sweeps:
+    if save_outputs and (nn_res.sweeps or nn_res.fixed_winners):
         from ..train import checkpoint
-        for n, sweep_res in nn_res.sweeps.items():
+        for n in bundles:
             mdir = os.path.join(out_root, "models", cfg.out_dir,
                                 f"{n}_{cfg.obs}", cfg.week)
             shp = bundles[n].shape_yx
             c_in = bundles[n].n_m if cfg.predictor == "multi_predictor" else 1
-            paths[f"winners_{n}"] = checkpoint.save_sweep_winners(
-                sweep_res, mdir, cfg.week, architecture=arch,
-                input_shape=(1, *shp, c_in))
+            if n in nn_res.sweeps:
+                paths[f"winners_{n}"] = checkpoint.save_sweep_winners(
+                    nn_res.sweeps[n], mdir, cfg.week, architecture=arch,
+                    input_shape=(1, *shp, c_in))
+            elif n in nn_res.fixed_winners:
+                var_list, vloss = nn_res.fixed_winners[n]
+                g = cfg.tuning
+                paths[f"winners_{n}"] = checkpoint.save_fixed_winners(
+                    var_list, vloss, mdir, cfg.week, architecture=arch,
+                    input_shape=(1, *shp, c_in),
+                    hparams={"architecture": arch,
+                             "lr": g.learning_rates[0],
+                             "batch_size": g.batch_sizes[0]})
     if save_outputs:
         for tag, fld in [("train", nn_res.rpss_train),
                          ("val", nn_res.rpss_val),

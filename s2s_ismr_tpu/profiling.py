@@ -39,7 +39,6 @@ class StageTimer:
     """Wall-clock per pipeline stage + derived steps/sec, JSON-seriable."""
     stages: Dict[str, float] = dfield(default_factory=dict)
     counters: Dict[str, float] = dfield(default_factory=dict)
-    _open: Dict[str, float] = dfield(default_factory=dict)
 
     @contextlib.contextmanager
     def stage(self, name: str):

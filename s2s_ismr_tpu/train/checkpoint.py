@@ -48,6 +48,7 @@ def save_sweep_winners(sweep_result, out_dir, week, architecture="unet",
         save_variables(variables, os.path.join(out_dir, fname))
         manifest.append({
             "fold": i, "file": fname,
+            "architecture": architecture,
             "config": dataclasses.asdict(cfg),
             "hparams": trial.hparams(),
             "val_loss": float(sweep_result.best_val_loss[i]),
@@ -59,19 +60,52 @@ def save_sweep_winners(sweep_result, out_dir, week, architecture="unet",
     return mpath
 
 
-def load_winner(out_dir, week, fold, architecture="unet") \
-        -> Tuple[UNet, dict]:
-    """Rebuild a fold's winning model + variables from a manifest —
-    the 'load' training path (training.py:127-131)."""
-    with open(os.path.join(out_dir, f"winners_{week}.json")) as f:
-        manifest = json.load(f)
-    entry = next(e for e in manifest if e["fold"] == fold)
+def save_fixed_winners(var_list, val_losses, out_dir, week,
+                       architecture, input_shape=None, hparams=None):
+    """Persist per-fold winners of a fixed (non-tuned) training run —
+    the cnn/mlp architecture branch (training.py:53-64)."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = []
+    for i, variables in enumerate(var_list):
+        fname = f"best_model_{architecture}_{i}_trained.msgpack"
+        save_variables(variables, os.path.join(out_dir, fname))
+        manifest.append({
+            "fold": i, "file": fname,
+            "architecture": architecture,
+            "config": None,
+            "hparams": dict(hparams or {}),
+            "val_loss": float(val_losses[i]),
+            "input_shape": list(input_shape) if input_shape else None,
+        })
+    mpath = os.path.join(out_dir, f"winners_{week}.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return mpath
+
+
+def _build_model(entry, architecture):
+    arch = entry.get("architecture", architecture)
+    shape = entry["input_shape"] or [1, 32, 32, 1]
+    if arch == "cnn":
+        from ..models import CNN
+        return CNN(), shape
+    if arch == "mlp":
+        from ..models import MLP
+        return MLP(spatial_shape=tuple(shape[1:3])), shape
     cfg_d = dict(entry["config"])
     cfg_d["ct_kernel"] = tuple(cfg_d["ct_kernel"])
     cfg_d["ct_stride"] = tuple(cfg_d["ct_stride"])
-    cfg = UNetConfig(**cfg_d)
-    model = UNet(cfg)
-    shape = entry["input_shape"] or [1, 32, 32, 1]
+    return UNet(UNetConfig(**cfg_d)), shape
+
+
+def load_winner(out_dir, week, fold, architecture="unet"):
+    """Rebuild a fold's winning model + variables from a manifest —
+    the 'load' training path (training.py:127-131). Dispatches on the
+    manifest's architecture (unet/cnn/mlp)."""
+    with open(os.path.join(out_dir, f"winners_{week}.json")) as f:
+        manifest = json.load(f)
+    entry = next(e for e in manifest if e["fold"] == fold)
+    model, shape = _build_model(entry, architecture)
     template = model.init(jax.random.key(0),
                           np.zeros(shape, np.float32), train=False)
     variables = load_variables(os.path.join(out_dir, entry["file"]), template)

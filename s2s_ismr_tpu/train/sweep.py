@@ -215,11 +215,15 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         best_vars = dispatched[bpos][0]
         vf = jax.tree.map(lambda a: a[f, r], best_vars)
         model_f = model_by_trial[ti]
-        key_ = jobs[bpos][0]
-        if key_ not in pred_jit:
-            pred_jit[key_] = jax.jit(
+        # the forward program depends only on the architecture shape, not
+        # batch_size — key accordingly to avoid redundant compiles
+        t_ = trials[ti]
+        pkey = ((t_.ct_kernel, t_.filters, t_.n_blocks)
+                if model_factory is None else jobs[bpos][0])
+        if pkey not in pred_jit:
+            pred_jit[pkey] = jax.jit(
                 lambda v, m=model_f: predict(m, v, x))
-        predictions.append(np.asarray(pred_jit[key_](vf)))
+        predictions.append(np.asarray(pred_jit[pkey](vf)))
         winner_vars.append(jax.tree.map(np.asarray, vf))
     predictions = np.stack(predictions)
     winner_cfgs = [UNetConfig(filters=t.filters, n_blocks=t.n_blocks,

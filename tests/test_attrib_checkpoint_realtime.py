@@ -237,3 +237,25 @@ def test_pipeline_persists_winners(tmp_path):
     assert res.gradcam_maps.shape == res.probs.shape[:-1]
     assert res.mjo_composites and res.enso_composites
     assert all(os.path.exists(p) for p in paths.values())
+
+
+@pytest.mark.slow
+def test_cnn_pipeline_winners_and_realtime(tmp_path):
+    """cnn-architecture runs persist loadable winners too (regression:
+    fixed-training variables were previously discarded)."""
+    import dataclasses
+    import os
+    from s2s_ismr_tpu.pipelines import get_config
+    from s2s_ismr_tpu.pipelines.tune import run_pipeline
+    from s2s_ismr_tpu.pipelines.realtime import run_realtime_eval
+
+    cfg = dataclasses.replace(get_config("tune_ECMWF_com").fast_variant(),
+                              years=(2003, 2012), epochs=2,
+                              architecture="cnn")
+    out = run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                       synthetic_step=2.0, log=lambda *a: None)
+    assert "winners_ECMWF" in out.paths
+    res, paths = run_realtime_eval(cfg, out_root=str(tmp_path),
+                                   synthetic_step=2.0, log=lambda *a: None)
+    assert res.probs.shape[-1] == 3
+    assert all(os.path.exists(p) for p in paths.values())
