@@ -42,6 +42,10 @@ class PipelineConfig:
     elr_frac_test: float = 0.3
     nn_frac_valid: float = 0.2
     nn_frac_test: float = 0.1
+    # per-pixel (v - mean_T)/(std_T + 1e-6) of x and y before splitting —
+    # the bootstrap_splits(..., standardize=) option (preprocessing.py:
+    # 335-343, 452-456); the reference scripts leave it False
+    standardize: bool = False
 
     @property
     def is_mme(self):

@@ -326,6 +326,15 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
         bundles = load_bundles(cfg, source, seed=seed,
                                synthetic_step=synthetic_step)
         bundles = {n: _apply_pad(cfg, b) for n, b in bundles.items()}
+        if cfg.standardize:
+            # bootstrap_splits(standardize=True) semantics (preprocessing.py:
+            # 338-343, 452-456): per-pixel affine over full T, before any
+            # fillna. Applied once here — both branches receive the same
+            # standardized tensors, as in the reference where each split
+            # function standardizes the same full x/y. (MME note: reference
+            # standardizes the cross-model-mean y; all models share one obs
+            # grid per config, so per-bundle standardization is equivalent.)
+            bundles = {n: b.standardize() for n, b in bundles.items()}
     first = bundles[list(bundles)[0]]
 
     out_dir = os.path.join(out_root, "outputs", cfg.out_dir,

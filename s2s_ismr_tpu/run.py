@@ -32,6 +32,9 @@ def main(argv=None):
                     help="synthetic grid step in degrees")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--folds", type=int, default=None)
+    ap.add_argument("--standardize", action="store_true",
+                    help="per-pixel standardize x/y over T before splits "
+                         "(bootstrap_splits standardize= option)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write jax.profiler traces + stage timings to DIR")
@@ -95,6 +98,8 @@ def main(argv=None):
         cfg = replace(cfg, epochs=args.epochs)
     if args.folds:
         cfg = replace(cfg, n_bootstraps=args.folds)
+    if args.standardize:
+        cfg = replace(cfg, standardize=True)
 
     from .pipelines.tune import run_pipeline
     out = run_pipeline(cfg, source=args.source, out_root=args.out,

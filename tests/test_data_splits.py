@@ -135,3 +135,51 @@ def test_stacked_split_masks_select_whole_years(bundle):
     # same year partition as the unstacked split, tiled M times
     np.testing.assert_array_equal(fm.train[0],
                                   np.tile(fm0.train[0], bundle.n_m))
+
+
+def test_standardize_formula_and_label_invariance(bundle):
+    """bootstrap_splits(standardize=True) semantics (preprocessing.py:
+    338-343): per-pixel (v - mean_T)/(std_T + 1e-6). Tercile labels are
+    invariant under the per-pixel positive-affine map."""
+    import jax
+    import jax.numpy as jnp
+    from s2s_ismr_tpu import timeutils
+    from s2s_ismr_tpu.ops import terciles
+
+    b = bundle
+    s = b.standardize()
+    # reference formula, skipna mean/std over T (xarray defaults)
+    exp_x = (b.x - np.nanmean(b.x, 0)) / (np.nanstd(b.x, 0) + 1e-6)
+    exp_y = (b.y - np.nanmean(b.y, 0)) / (np.nanstd(b.y, 0) + 1e-6)
+    np.testing.assert_allclose(s.x, exp_x, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s.y, exp_y, rtol=1e-5, atol=1e-6)
+
+    fm = splits.bootstrap_masks(b.years, n_bootstraps=2)
+    wm = timeutils.week_window_matrix(1)
+    pm = jnp.asarray(fm.train[0])
+
+    def labels_of(y):
+        return np.asarray(terciles.fit_and_label(
+            jnp.asarray(y), b.weeks, pm, wm, None)[0])
+
+    l_raw = labels_of(b.y)
+    l_std = labels_of(s.y)
+    ok = np.isfinite(l_raw) & np.isfinite(l_std)
+    assert ok.any()
+    np.testing.assert_array_equal(l_raw[ok], l_std[ok])
+
+
+def test_pipeline_standardize_flag(tmp_path):
+    """run_pipeline(standardize=True) standardizes before both branches and
+    still yields finite skill tensors."""
+    import dataclasses
+    from s2s_ismr_tpu.pipelines import get_config
+    from s2s_ismr_tpu.pipelines.tune import run_pipeline
+
+    cfg = dataclasses.replace(get_config("tune_ECMWF_com").fast_variant(),
+                              years=(2003, 2012), epochs=2, standardize=True)
+    out = run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                       synthetic_step=2.0, save_outputs=False,
+                       log=lambda *a: None)
+    assert np.isfinite(out.nn.rpss_test.values).any()
+    assert np.isfinite(out.elr.rpss_test.values).any()
