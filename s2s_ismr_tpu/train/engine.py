@@ -51,6 +51,12 @@ class TrainSettings:
     # gather instead of the full masked T axis — exact same masked-CE
     # value (weights zero any overshoot), ~T/val_rows x cheaper. None =
     # evaluate over full T.
+    early_exit: bool = False     # run the epoch loop as lax.while_loop and
+    # exit once the lane has stopped (patience exceeded) — the reference's
+    # EarlyStopping truly stops training (training.py:100); the scan path
+    # instead runs max epochs with the result frozen. Outputs are identical
+    # by construction; under vmap the program exits at the LAST lane's stop
+    # epoch. vloss history entries past the exit are NaN.
 
 
 def _tree_where(pred, a, b):
@@ -173,8 +179,23 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
     best0 = (params, batch_stats, jnp.float32(jnp.inf), jnp.int32(0),
              jnp.asarray(False))
     ekeys = jax.random.split(key, settings.epochs)
-    (_, _, _, best), vloss_hist = jax.lax.scan(
-        epoch_step, (params, batch_stats, opt_state, best0), ekeys)
+    if settings.early_exit:
+        def cond(c):
+            e, _, _, _, best_c, _ = c
+            return jnp.logical_and(e < settings.epochs,
+                                   jnp.logical_not(best_c[4]))
+
+        def body(c):
+            e, p, s, o, best_c, hist = c
+            (p, s, o, best_c), vloss = epoch_step((p, s, o, best_c), ekeys[e])
+            return (e + 1, p, s, o, best_c, hist.at[e].set(vloss))
+
+        hist0 = jnp.full((settings.epochs,), jnp.nan, jnp.float32)
+        carry0 = (jnp.int32(0), params, batch_stats, opt_state, best0, hist0)
+        _, _, _, _, best, vloss_hist = jax.lax.while_loop(cond, body, carry0)
+    else:
+        (_, _, _, best), vloss_hist = jax.lax.scan(
+            epoch_step, (params, batch_stats, opt_state, best0), ekeys)
     best_params, best_stats, best_vloss, _, _ = best
     return {"params": best_params, "batch_stats": best_stats}, best_vloss, vloss_hist
 

@@ -102,7 +102,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                    apool: bool = True, bn: bool = True,
                    model_factory: Callable[[Trial], Any] | None = None,
                    donate: bool = True, verbose: bool = False,
-                   mesh=None) -> SweepResult:
+                   mesh=None, early_exit: bool = True) -> SweepResult:
     """Run the full tuning sweep.
 
     x:            (T, H, W, C) predictor images (jnp or np)
@@ -146,13 +146,15 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         settings = TrainSettings(epochs=epochs, batch_size=bs,
                                  patience=grid.patience,
                                  val_rows=int(np.asarray(val_masks)
-                                              .sum(1).max()))
+                                              .sum(1).max()),
+                                 early_exit=early_exit)
         lrs = jnp.asarray([t.lr for t in bucket], jnp.float32)
 
         def lane(y_oh, tmask, vmask, lr, key, model=model, settings=settings):
-            best, vloss, _ = train_fold(model, x, y_oh, tmask, vmask, lr,
-                                        key, settings)
-            return best, vloss
+            best, vloss, hist = train_fold(model, x, y_oh, tmask, vmask, lr,
+                                           key, settings)
+            # epochs actually run (early_exit leaves NaN past the exit)
+            return best, vloss, jnp.sum(jnp.isfinite(hist), dtype=jnp.int32)
 
         keys = jnp.stack([
             jnp.stack([_lane_keys(base_seed, f, t.index) for t in bucket])
@@ -167,7 +169,6 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             lanes, args = _mesh_lanes(model, settings, mesh, x, y_oh_folds,
                                       train_masks, val_masks, lrs, keys)
         jobs.append((key_, bucket, lanes.lower(*args), args))
-        total_steps += F * R * epochs * (-(-x.shape[0] // bs))
 
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
@@ -190,10 +191,11 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     # (the old path ran + transferred every trial's full-T forward —
     # ~1GB of useless host traffic for a 24-trial grid).
     model_by_trial: Dict[int, Any] = {}
-    for bpos, ((key_, bucket, _, _), (best_vars, vloss)) in enumerate(
+    for bpos, ((key_, bucket, _, _), (best_vars, vloss, n_ep)) in enumerate(
             zip(jobs, dispatched)):
         bs, kern, filt, blocks = key_
         vloss = np.asarray(vloss)            # (F, R)
+        total_steps += int(np.asarray(n_ep).sum()) * (-(-x.shape[0] // bs))
         if verbose:
             print(f"bucket bs={bs} kern={kern} filt={filt} blocks={blocks}: "
                   f"val_loss min={vloss.min():.4f}")
@@ -262,9 +264,9 @@ def _mesh_lanes(model, settings, mesh, x, y_oh_folds, train_masks,
     pad = (-L) % n_dev
 
     def lane(xv, y_oh, tmask, vmask, lr, key):
-        best, vloss, _ = train_fold(model, xv, y_oh, tmask, vmask, lr,
-                                    key, settings)
-        return best, vloss
+        best, vloss, hist = train_fold(model, xv, y_oh, tmask, vmask, lr,
+                                       key, settings)
+        return best, vloss, jnp.sum(jnp.isfinite(hist), dtype=jnp.int32)
 
     y_l = jnp.repeat(y_oh_folds, R, axis=0)
     tm_l = jnp.repeat(train_masks, R, axis=0)
@@ -296,13 +298,13 @@ def _unflatten_lanes(out, F, R):
 def run_fixed_training(model, x, y_oh_folds, train_masks, val_masks,
                        lr: float = 1e-3, batch_size: int = 16,
                        epochs: int = 100, patience: int = 10,
-                       base_seed: int = 42):
+                       base_seed: int = 42, early_exit: bool = True):
     """training_type='train' path (training.py:119-125): one configuration,
     all folds vmapped. Returns (val_loss (F,), predictions (F,T,H,W,3),
     variables list)."""
     x = jnp.asarray(x)
     settings = TrainSettings(epochs=epochs, batch_size=batch_size,
-                             patience=patience)
+                             patience=patience, early_exit=early_exit)
     F = train_masks.shape[0]
 
     def lane(y_oh, tmask, vmask, key):

@@ -185,3 +185,49 @@ def test_val_rows_compaction_exact(setup):
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+
+
+def test_early_exit_identical_results(setup):
+    """early_exit=True (while_loop, exits at patience like Keras
+    EarlyStopping) returns bit-identical best weights/val-loss to the
+    fixed-length scan, with NaN history past the exit epoch."""
+    b, fm, x, y_oh = setup
+    model = UNet(SMALL)
+    key = jax.random.key(3)
+    kw = dict(epochs=14, batch_size=16, patience=2)
+    st_scan = TrainSettings(early_exit=False, **kw)
+    st_exit = TrainSettings(early_exit=True, **kw)
+    tm = jnp.asarray(fm.train[0])
+    vm = jnp.asarray(fm.val[0])
+    b1, v1, h1 = jax.jit(lambda: train_fold(
+        model, x, y_oh, tm, vm, 1e-3, key, st_scan))()
+    b2, v2, h2 = jax.jit(lambda: train_fold(
+        model, x, y_oh, tm, vm, 1e-3, key, st_exit))()
+    assert float(v1) == float(v2)
+    for a, c in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    n_run = int(np.isfinite(h2).sum())
+    assert n_run < len(h2), "patience=2 should stop before 14 epochs"
+    np.testing.assert_array_equal(h1[:n_run], h2[:n_run])
+    assert np.isnan(h2[n_run:]).all()
+
+
+def test_early_exit_vmapped_lanes(setup):
+    """Under vmap the batched while exits at the LAST lane's stop epoch and
+    every lane's result matches its scan-mode counterpart."""
+    b, fm, x, y_oh = setup
+    model = UNet(SMALL)
+    kw = dict(epochs=10, batch_size=16, patience=2)
+    lrs = jnp.asarray([1e-3, 1e-4], jnp.float32)
+    keys = jax.random.split(jax.random.key(5), 2)
+    tm = jnp.asarray(fm.train[0])
+    vm = jnp.asarray(fm.val[0])
+
+    def run(early_exit):
+        st = TrainSettings(early_exit=early_exit, **kw)
+        f = jax.vmap(lambda lr, k: train_fold(
+            model, x, y_oh, tm, vm, lr, k, st)[1])
+        return np.asarray(jax.jit(f)(lrs, keys))
+
+    np.testing.assert_array_equal(run(False), run(True))
