@@ -134,6 +134,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     # the sum. Phase 2 dispatches all executions asynchronously (device
     # queues them back-to-back); phase 3 is the only host sync.
     jobs = []
+    pred_candidates: Dict[tuple, Any] = {}   # pkey -> (model, stacked avals)
     for key_, bucket in buckets.items():
         bs, kern, filt, blocks = key_
         if model_factory is None:
@@ -169,6 +170,17 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             lanes, args = _mesh_lanes(model, settings, mesh, x, y_oh_folds,
                                       train_masks, val_masks, lrs, keys)
         jobs.append((key_, bucket, lanes.lower(*args), args))
+        # register this bucket's architecture as a winner-forward candidate:
+        # an (F,)-stacked variables aval tree for the vmapped predict program
+        pkey = ((kern, filt, blocks) if model_factory is None else key_)
+        if pkey not in pred_candidates:
+            from functools import partial
+            var_avals = jax.eval_shape(partial(model.init, train=False),
+                                       jax.random.key(0), x[:1])
+            stacked = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct((F,) + s.shape, s.dtype),
+                var_avals)
+            pred_candidates[pkey] = (model, stacked)
 
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
@@ -179,6 +191,19 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
 
     t0 = _time.perf_counter()
     dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async
+    # compile every candidate winner-forward program WHILE the device is
+    # busy training — compilation is compile-server work, so by the time
+    # winners are known the forward programs are ready (collect previously
+    # paid a lazy ~20s remote compile per winning architecture)
+    pred_pool = ThreadPoolExecutor(max_workers=max(1, len(pred_candidates)))
+
+    def _compile_pred(pk):
+        m, stacked = pred_candidates[pk]
+        return jax.jit(jax.vmap(
+            lambda v, m=m: predict(m, v, x))).lower(stacked).compile()
+
+    pred_futs = {pk: pred_pool.submit(_compile_pred, pk)
+                 for pk in pred_candidates}
     jax.tree.map(lambda a: a.block_until_ready(), dispatched[-1][1])
     t_execute = _time.perf_counter() - t0
     if mesh is not None:
@@ -190,7 +215,6 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     # device; predictions for non-winning trials are never computed at all
     # (the old path ran + transferred every trial's full-T forward —
     # ~1GB of useless host traffic for a 24-trial grid).
-    model_by_trial: Dict[int, Any] = {}
     for bpos, ((key_, bucket, _, _), (best_vars, vloss, n_ep)) in enumerate(
             zip(jobs, dispatched)):
         bs, kern, filt, blocks = key_
@@ -202,32 +226,42 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         for r, t in enumerate(bucket):
             val_table[:, t.index] = vloss[:, r]
             vars_by_trial[t.index] = (bpos, r)
-            model_by_trial[t.index] = _bucket_model(
-                t, apool, bn, model_factory)
 
     # winner per fold: first strict minimum in product order (reference
     # tie-break via `<`, training.py:108)
     best_idx = np.argmin(val_table, axis=1)  # argmin returns first min
     best_trials = [trials[i] for i in best_idx]
-    winner_vars, predictions = [], []
-    pred_jit: Dict[tuple, Any] = {}
+    # collect winners GROUPED by (bucket, forward-program): one batched
+    # gather + one vmapped forward + one host transfer per group, instead
+    # of per-fold dispatch/transfer rounds (each host sync costs ~27ms
+    # through the TPU tunnel; leaf-wise transfers multiplied that by the
+    # ~30 tree leaves). The forward program depends only on the
+    # architecture shape, not batch_size — group accordingly.
+    groups: Dict[tuple, List[tuple]] = {}
     for f in range(F):
         ti = int(best_idx[f])
         bpos, r = vars_by_trial[ti]
-        best_vars = dispatched[bpos][0]
-        vf = jax.tree.map(lambda a: a[f, r], best_vars)
-        model_f = model_by_trial[ti]
-        # the forward program depends only on the architecture shape, not
-        # batch_size — key accordingly to avoid redundant compiles
         t_ = trials[ti]
         pkey = ((t_.ct_kernel, t_.filters, t_.n_blocks)
                 if model_factory is None else jobs[bpos][0])
-        if pkey not in pred_jit:
-            pred_jit[pkey] = jax.jit(
-                lambda v, m=model_f: predict(m, v, x))
-        predictions.append(np.asarray(pred_jit[pkey](vf)))
-        winner_vars.append(jax.tree.map(np.asarray, vf))
-    predictions = np.stack(predictions)
+        groups.setdefault((bpos, pkey), []).append((f, r, ti))
+    vars_by_fold: Dict[int, Any] = {}
+    preds_by_fold: Dict[int, np.ndarray] = {}
+    for (bpos, pkey), frs in groups.items():
+        G = len(frs)
+        # pad the gather to the program's static F lanes (repeat lane 0;
+        # throwaway forwards are cheap, the compile reuse is not)
+        fs = np.asarray([f for f, _, _ in frs] + [frs[0][0]] * (F - G))
+        rs = np.asarray([r for _, r, _ in frs] + [frs[0][1]] * (F - G))
+        vstack = jax.tree.map(lambda a: a[fs, rs], dispatched[bpos][0])
+        preds_g = np.asarray(pred_futs[pkey].result()(vstack))
+        host_vars = jax.device_get(vstack)
+        for i, (f, _, _) in enumerate(frs):
+            preds_by_fold[f] = preds_g[i]
+            vars_by_fold[f] = jax.tree.map(lambda a, i=i: a[i], host_vars)
+    pred_pool.shutdown()
+    winner_vars = [vars_by_fold[f] for f in range(F)]
+    predictions = np.stack([preds_by_fold[f] for f in range(F)])
     winner_cfgs = [UNetConfig(filters=t.filters, n_blocks=t.n_blocks,
                               ct_kernel=t.ct_kernel, apool=apool, bn=bn)
                    for t in best_trials]
@@ -243,13 +277,6 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                  "execute_s": round(t_execute, 2),
                  "collect_s": round(_time.perf_counter() - t0, 2)},
     )
-
-
-def _bucket_model(trial: Trial, apool, bn, model_factory):
-    if model_factory is not None:
-        return model_factory(trial)
-    return UNet(UNetConfig(filters=trial.filters, n_blocks=trial.n_blocks,
-                           ct_kernel=trial.ct_kernel, apool=apool, bn=bn))
 
 
 def _mesh_lanes(model, settings, mesh, x, y_oh_folds, train_masks,
