@@ -313,7 +313,8 @@ class TuneOutputs:
 def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                  make_plots=False, save_outputs=True, seed=0,
                  synthetic_step=None, log=print,
-                 profile_dir=None, use_mesh="auto") -> TuneOutputs:
+                 profile_dir=None, use_mesh="auto",
+                 overlap_branches=False) -> TuneOutputs:
     from ..profiling import StageTimer, trace
     mesh = None
     if use_mesh and (use_mesh != "auto" or len(jax.devices()) > 1):
@@ -343,19 +344,36 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                            f"{'_'.join(cfg.models)}_{cfg.obs}")
     paths = {}
 
-    log("########### ELR ###########")
-    with trace(profile_dir), timer.stage("elr"):
-        elr_res = run_elr_branch(cfg, bundles, log)
+    # The two branches are independent programs over the same bundles, so
+    # they CAN run concurrently (NN in a worker thread while ELR runs in
+    # the main thread) — results are identical either way. Measured on the
+    # 1-CPU v5e host this HURT (ELR 655s vs ~90s: program tracing is
+    # host-GIL-bound and the remote compile server serializes, see
+    # PERF.md), so it is opt-in for multi-core hosts, and disabled when
+    # profiling (the jax profiler trace is a global context).
+    if overlap_branches and profile_dir is None:
+        from concurrent.futures import ThreadPoolExecutor
+        log("########### ELR + Neural Network (overlapped) ###########")
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            with timer.stage("nn"):      # NN wall; the ELR stage overlaps it
+                nn_fut = ex.submit(run_nn_branch, cfg, bundles, log,
+                                   timer, mesh)
+                with timer.stage("elr"):
+                    elr_res = run_elr_branch(cfg, bundles, log)
+                nn_res = nn_fut.result()
+    else:
+        log("########### ELR ###########")
+        with trace(profile_dir), timer.stage("elr"):
+            elr_res = run_elr_branch(cfg, bundles, log)
+        log("########### Neural Network ###########")
+        with trace(profile_dir and os.path.join(profile_dir, "nn")), \
+                timer.stage("nn"):
+            nn_res = run_nn_branch(cfg, bundles, log, timer=timer, mesh=mesh)
     if save_outputs:
         for tag, fld in [("train", elr_res.rpss_train),
                          ("test", elr_res.rpss_test)]:
             p = os.path.join(out_dir, f"ELR_rpss_{tag}_{cfg.week}.nc")
             paths[f"elr_{tag}"] = write_netcdf(fld, p)
-
-    log("########### Neural Network ###########")
-    with trace(profile_dir and os.path.join(profile_dir, "nn")), \
-            timer.stage("nn"):
-        nn_res = run_nn_branch(cfg, bundles, log, timer=timer, mesh=mesh)
     arch = cfg.architecture
 
     # persist per-fold winner models (reference saves then DELETES its
