@@ -172,8 +172,10 @@ class NNResult:
     # per model: (var_list, val_losses) for cnn/mlp fixed training
 
 
-def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
-                  timer=None, mesh=None) -> NNResult:
+def _nn_setup(cfg: PipelineConfig, bundles, log):
+    """Shared NN-branch preamble: fillna/stacking, year-bootstrap splits,
+    per-fold rolling-tercile labels (fit on each fold's train years only,
+    preprocessing.py:415)."""
     names = list(bundles)
     filled = {n: b.fillna(0.0) for n, b in bundles.items()}
     if cfg.predictor == "stacked":
@@ -192,12 +194,30 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
             f"val={sorted(fm.val_years[i])} test={sorted(fm.test_years[i])}")
 
     wm = timeutils.week_window_matrix(1)
-    weeks = first.weeks
     lab_folds = jax.vmap(
-        lambda pm: terciles.fit_and_label(y_shared, weeks, pm, wm, None)[0]
+        lambda pm: terciles.fit_and_label(y_shared, first.weeks, pm, wm,
+                                          None)[0]
     )(jnp.asarray(fm.train))
     y_oh = jnp.nan_to_num(terciles.one_hot_labels(lab_folds), nan=0.0)
-    labels = np.asarray(lab_folds)
+    return names, filled, first, fm, np.asarray(lab_folds), y_oh
+
+
+def _nn_rpss(filled, names, preds, labels, fm):
+    """RPSS of blended predictions vs the reference's constant-1/3 climo
+    (last-iterated model's predictor quirk, performance_metrics.py:11-23)."""
+    climo = metrics.climo_forecast(filled[names[-1]].ensemble_mean())
+    rpss_folds = jax.jit(jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0)))
+    preds_j, labels_j = jnp.asarray(preds), jnp.asarray(labels)
+
+    def _r(mask_set):
+        return np.asarray(rpss_folds(climo, preds_j, labels_j,
+                                     jnp.asarray(mask_set)))
+    return _r
+
+
+def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
+                  timer=None, mesh=None) -> NNResult:
+    names, filled, first, fm, labels, y_oh = _nn_setup(cfg, bundles, log)
 
     sweeps: Dict[str, SweepResult] = {}
     hparams_by_model: Dict[str, list] = {}
@@ -254,14 +274,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
     else:
         preds = per_model_preds[0]
 
-    # NN-path climo: predictors are fillna'd so the reference's NaN-masked
-    # 1/3 forecast is just a constant (performance_metrics.py:11-23)
-    climo = metrics.climo_forecast(filled[names[-1]].ensemble_mean())
-    rpss_folds = jax.jit(jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0)))
-    preds_j, labels_j = jnp.asarray(preds), jnp.asarray(labels)
-    def _r(mask_set):
-        return np.asarray(rpss_folds(climo, preds_j, labels_j,
-                                     jnp.asarray(mask_set)))
+    _r = _nn_rpss(filled, names, preds, labels, fm)
     coords = {"Y": first.lats, "X": first.lons}
     return NNResult(
         rpss_train=Field(_r(fm.train), ("bootstrap", "Y", "X"), coords, "rpss"),
@@ -272,6 +285,87 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
             {n: hparams_by_model[n][f] for n in names}
             for f in range(fm.n_folds)],
         fixed_winners=fixed_winners)
+
+
+def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
+                       log=print) -> NNResult:
+    """The reference's training_type="load" (training.py:127-131): rebuild
+    each fold's persisted winner checkpoint and predict, skipping the
+    tuning sweep entirely. Winners come from a prior tune run's
+    models/{dir}{model}_{obs}/{week} tree (the reference deletes that tree
+    at end-of-run, tune_ECMWF_com.py:183-186; this framework keeps it)."""
+    from ..train import checkpoint
+    from ..train.engine import predict
+
+    names, filled, first, fm, labels, _ = _nn_setup(cfg, bundles, log)
+    per_model_preds = []
+    hparams_by_model: Dict[str, list] = {}
+    for n in names:
+        mdir = os.path.join(out_root, "models", cfg.out_dir,
+                            f"{n}_{cfg.obs}", cfg.week)
+        mpath = os.path.join(mdir, f"winners_{cfg.week}.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"no winner manifest at {mpath} — run the tune pipeline "
+                f"first; training_type='load' replays persisted winners")
+        with open(mpath) as fh:
+            manifest = {e["fold"]: e for e in json.load(fh)}
+        missing = [f for f in range(fm.n_folds) if f not in manifest]
+        if missing:
+            raise ValueError(
+                f"manifest {mpath} lacks folds {missing} "
+                f"(has {sorted(manifest)}); rerun tuning with "
+                f"n_bootstraps={cfg.n_bootstraps}")
+        x = jnp.asarray(filled[n].predictor_images(cfg.predictor))
+        t0 = time.time()
+        F = fm.n_folds
+        loaded = [checkpoint.load_winner(mdir, cfg.week, f,
+                                         architecture=cfg.architecture)
+                  for f in range(F)]
+        # group folds by winning config and run ONE F-lane vmapped forward
+        # per group (lanes padded by repeating the first fold) — the exact
+        # program shape the sweep's winner collection uses, so load-mode
+        # predictions are bit-identical to the tune run's (a plain unvmapped
+        # forward lowers convs differently and drifts in low-order bits)
+        groups: Dict[str, list] = {}
+        for f in range(F):
+            key = json.dumps(manifest[f].get("config")
+                             or manifest[f]["hparams"],
+                             sort_keys=True, default=str)
+            groups.setdefault(key, []).append(f)
+        preds_f = [None] * F
+        for fs in groups.values():
+            model = loaded[fs[0]][0]
+            lanes = fs + [fs[0]] * (F - len(fs))
+            vstack = jax.tree.map(lambda *a: jnp.stack(a),
+                                  *[loaded[f][1] for f in lanes])
+            preds_g = np.asarray(jax.jit(jax.vmap(
+                lambda v, xv, m=model: predict(m, v, xv),
+                in_axes=(0, None)))(vstack, x))
+            for i, f in enumerate(fs):
+                preds_f[f] = preds_g[i]
+        log(f"[nn] model {n}: loaded {F} winners "
+            f"({len(groups)} architecture groups) from {mdir} "
+            f"in {time.time() - t0:.1f}s")
+        per_model_preds.append(np.stack(preds_f))
+        hparams_by_model[n] = [manifest[f]["hparams"] for f in range(F)]
+
+    if cfg.is_mme:
+        preds = np.asarray(elr_ops.blend_probabilities(per_model_preds))
+    else:
+        preds = per_model_preds[0]
+
+    _r = _nn_rpss(filled, names, preds, labels, fm)
+    coords = {"Y": first.lats, "X": first.lons}
+    return NNResult(
+        rpss_train=Field(_r(fm.train), ("bootstrap", "Y", "X"), coords, "rpss"),
+        rpss_val=Field(_r(fm.val), ("bootstrap", "Y", "X"), coords, "rpss"),
+        rpss_test=Field(_r(fm.test), ("bootstrap", "Y", "X"), coords, "rpss"),
+        predictions=preds, labels=labels, masks=fm, sweeps={},
+        best_hparams=[
+            {n: hparams_by_model[n][f] for n in names}
+            for f in range(fm.n_folds)],
+        fixed_winners={})
 
 
 def _make_architecture(arch: str, x_shape):
@@ -314,7 +408,8 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                  make_plots=False, save_outputs=True, seed=0,
                  synthetic_step=None, log=print,
                  profile_dir=None, use_mesh="auto",
-                 overlap_branches=False) -> TuneOutputs:
+                 overlap_branches=False,
+                 training_type="tune") -> TuneOutputs:
     from ..profiling import StageTimer, trace
     mesh = None
     if use_mesh and (use_mesh != "auto" or len(jax.devices()) > 1):
@@ -351,7 +446,19 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     # host-GIL-bound and the remote compile server serializes, see
     # PERF.md), so it is opt-in for multi-core hosts, and disabled when
     # profiling (the jax profiler trace is a global context).
-    if overlap_branches and profile_dir is None:
+    if training_type not in ("tune", "load"):
+        raise ValueError(f"training_type must be 'tune' or 'load', "
+                         f"got {training_type!r}")
+    if training_type == "load":
+        # load mode never trains, so branch overlap buys nothing
+        log("########### ELR ###########")
+        with trace(profile_dir), timer.stage("elr"):
+            elr_res = run_elr_branch(cfg, bundles, log)
+        log("########### Neural Network (load) ###########")
+        with timer.stage("nn"):
+            nn_res = run_nn_branch_load(cfg, bundles, out_root=out_root,
+                                        log=log)
+    elif overlap_branches and profile_dir is None:
         from concurrent.futures import ThreadPoolExecutor
         log("########### ELR + Neural Network (overlapped) ###########")
         with ThreadPoolExecutor(max_workers=1) as ex:

@@ -32,6 +32,10 @@ def main(argv=None):
                     help="synthetic grid step in degrees")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--folds", type=int, default=None)
+    ap.add_argument("--training-type", dest="training_type",
+                    default="tune", choices=["tune", "load"],
+                    help="'tune' runs the grid search; 'load' replays the "
+                         "winner checkpoints persisted by a prior run")
     ap.add_argument("--standardize", action="store_true",
                     help="per-pixel standardize x/y over T before splits "
                          "(bootstrap_splits standardize= option)")
@@ -104,7 +108,8 @@ def main(argv=None):
     from .pipelines.tune import run_pipeline
     out = run_pipeline(cfg, source=args.source, out_root=args.out,
                        make_plots=args.plots, seed=args.seed,
-                       synthetic_step=args.step, profile_dir=args.profile)
+                       synthetic_step=args.step, profile_dir=args.profile,
+                       training_type=args.training_type)
     summary = {
         "config": cfg.name,
         "elapsed_s": round(out.elapsed_s, 2),

@@ -89,6 +89,62 @@ class SweepResult:
     timings: Dict[str, float] = field(default_factory=dict)  # phase seconds
 
 
+class _ProgramMemo:
+    """Process-level memo of compiled sweep executables.
+
+    Keys capture everything that determines the compiled program: bucket
+    statics, train settings, input avals, and mesh topology — the data
+    arrays (x / labels / masks / lrs / PRNG keys) are program INPUTS, so
+    any same-shape sweep reuses the executable. This is what makes MME
+    configs cheap (one sweep per model over identical shapes,
+    training.py:322-350 — only the first pays the 20-500 s remote
+    compile) and amortizes multi-config sessions. Unlike the persistent
+    XLA compilation cache (which the axon remote-compile backend cannot
+    deserialize, see compile_cache.py), this holds live executables and
+    works on every backend. Bounded FIFO; GIL-thread-safe."""
+
+    def __init__(self, max_entries: int = 64):
+        self._d: Dict[tuple, Any] = {}
+        self.max_entries = max_entries
+
+    def get(self, key):
+        if key is None:
+            return None
+        return self._d.get(key)
+
+    def put(self, key, value):
+        if key is None:
+            return
+        if key not in self._d and len(self._d) >= self.max_entries:
+            self._d.pop(next(iter(self._d)))
+        self._d[key] = value
+
+    def clear(self):
+        self._d.clear()
+
+
+_program_memo = _ProgramMemo()
+
+
+def _avals_key(tree) -> tuple:
+    return tuple((tuple(np.shape(l)), str(getattr(l, "dtype", type(l))))
+                 for l in jax.tree_util.tree_leaves(tree))
+
+
+def _topology_key(mesh):
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _memo_key(tag, bucket_key, apool, bn, settings, args, mesh) -> tuple:
+    import dataclasses as _dc
+    s = _dc.astuple(settings) if settings is not None else None
+    return (tag, bucket_key, apool, bn, s, _avals_key(args),
+            _topology_key(mesh))
+
+
 def _lane_keys(base_seed, fold_idx, trial_idx):
     """Deterministic per-(fold, trial) PRNG, standing in for the reference's
     reset_random_seeds() + sequential Keras init draws (training.py:43)."""
@@ -151,8 +207,9 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                                  early_exit=early_exit)
         lrs = jnp.asarray([t.lr for t in bucket], jnp.float32)
 
-        def lane(y_oh, tmask, vmask, lr, key, model=model, settings=settings):
-            best, vloss, hist = train_fold(model, x, y_oh, tmask, vmask, lr,
+        def lane(xv, y_oh, tmask, vmask, lr, key,
+                 model=model, settings=settings):
+            best, vloss, hist = train_fold(model, xv, y_oh, tmask, vmask, lr,
                                            key, settings)
             # epochs actually run (early_exit leaves NaN past the exit)
             return best, vloss, jnp.sum(jnp.isfinite(hist), dtype=jnp.int32)
@@ -163,13 +220,22 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         R = len(bucket)
         if mesh is None:
             lanes = jax.jit(jax.vmap(
-                jax.vmap(lane, in_axes=(None, None, None, 0, 0)),
-                in_axes=(0, 0, 0, None, 0)))
-            args = (y_oh_folds, train_masks, val_masks, lrs, keys)
+                jax.vmap(lane, in_axes=(None, None, None, None, 0, 0)),
+                in_axes=(None, 0, 0, 0, None, 0)))
+            args = (x, y_oh_folds, train_masks, val_masks, lrs, keys)
         else:
             lanes, args = _mesh_lanes(model, settings, mesh, x, y_oh_folds,
                                       train_masks, val_masks, lrs, keys)
-        jobs.append((key_, bucket, lanes.lower(*args), args))
+        # x is an explicit program input (not a closed-over constant), so a
+        # compiled bucket program depends only on shapes/statics and can be
+        # reused across same-shape sweeps (MME trains one sweep per model;
+        # a multi-config session re-runs identical grids) via _program_memo
+        memo_key = None if model_factory is not None else _memo_key(
+            "train", key_, apool, bn, settings, args, mesh)
+        cached = _program_memo.get(memo_key)
+        jobs.append((key_, bucket,
+                     cached if cached is not None else lanes.lower(*args),
+                     args, memo_key, cached is not None))
         # register this bucket's architecture as a winner-forward candidate:
         # an (F,)-stacked variables aval tree for the vmapped predict program
         pkey = ((kern, filt, blocks) if model_factory is None else key_)
@@ -185,9 +251,18 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
     t0 = _time.perf_counter()
+    def _compile_job(j):
+        key_, bucket, prog, args, memo_key, hit = j
+        if hit:
+            return prog                 # memo hit: already a compiled exe
+        c = prog.compile()
+        _program_memo.put(memo_key, c)
+        return c
+
     with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as ex:
-        compiled = list(ex.map(lambda j: j[2].compile(), jobs))
+        compiled = list(ex.map(_compile_job, jobs))
     t_compile = _time.perf_counter() - t0
+    n_cached = sum(1 for j in jobs if j[5])
 
     t0 = _time.perf_counter()
     dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async
@@ -199,8 +274,15 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
 
     def _compile_pred(pk):
         m, stacked = pred_candidates[pk]
-        return jax.jit(jax.vmap(
-            lambda v, m=m: predict(m, v, x))).lower(stacked).compile()
+        mk = None if model_factory is not None else _memo_key(
+            "pred", pk, apool, bn, None, (stacked, x), None)
+        c = _program_memo.get(mk)
+        if c is None:
+            c = jax.jit(jax.vmap(
+                lambda v, xv, m=m: predict(m, v, xv),
+                in_axes=(0, None))).lower(stacked, x).compile()
+            _program_memo.put(mk, c)
+        return c
 
     pred_futs = {pk: pred_pool.submit(_compile_pred, pk)
                  for pk in pred_candidates}
@@ -215,7 +297,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     # device; predictions for non-winning trials are never computed at all
     # (the old path ran + transferred every trial's full-T forward —
     # ~1GB of useless host traffic for a 24-trial grid).
-    for bpos, ((key_, bucket, _, _), (best_vars, vloss, n_ep)) in enumerate(
+    for bpos, ((key_, bucket, *_), (best_vars, vloss, n_ep)) in enumerate(
             zip(jobs, dispatched)):
         bs, kern, filt, blocks = key_
         vloss = np.asarray(vloss)            # (F, R)
@@ -254,7 +336,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         fs = np.asarray([f for f, _, _ in frs] + [frs[0][0]] * (F - G))
         rs = np.asarray([r for _, r, _ in frs] + [frs[0][1]] * (F - G))
         vstack = jax.tree.map(lambda a: a[fs, rs], dispatched[bpos][0])
-        preds_g = np.asarray(pred_futs[pkey].result()(vstack))
+        preds_g = np.asarray(pred_futs[pkey].result()(vstack, x))
         host_vars = jax.device_get(vstack)
         for i, (f, _, _) in enumerate(frs):
             preds_by_fold[f] = preds_g[i]
@@ -274,6 +356,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         winner_configs=winner_cfgs,
         train_steps=total_steps,
         timings={"compile_s": round(t_compile, 2),
+                 "compile_cached_buckets": n_cached,
                  "execute_s": round(t_execute, 2),
                  "collect_s": round(_time.perf_counter() - t0, 2)},
     )

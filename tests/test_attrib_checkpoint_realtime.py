@@ -259,3 +259,46 @@ def test_cnn_pipeline_winners_and_realtime(tmp_path):
                                    synthetic_step=2.0, log=lambda *a: None)
     assert res.probs.shape[-1] == 3
     assert all(os.path.exists(p) for p in paths.values())
+
+
+@pytest.mark.slow
+def test_training_type_load_replays_winners(tmp_path):
+    """training_type='load' (training.py:127-131): a second pipeline run
+    loads the persisted winners and reproduces the tune run's predictions
+    and RPSS bit-identically, without retraining."""
+    import dataclasses
+    import numpy as np
+    from s2s_ismr_tpu.pipelines import get_config
+    from s2s_ismr_tpu.pipelines.tune import run_pipeline
+
+    cfg = dataclasses.replace(get_config("tune_ECMWF_com").fast_variant(),
+                              years=(2003, 2012), epochs=3)
+    tuned = run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                         synthetic_step=2.0, log=lambda *a: None)
+    loaded = run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                          synthetic_step=2.0, log=lambda *a: None,
+                          training_type="load")
+    assert not loaded.nn.sweeps          # no sweep ran
+    np.testing.assert_array_equal(loaded.nn.predictions,
+                                  tuned.nn.predictions)
+    np.testing.assert_array_equal(loaded.nn.rpss_test.values,
+                                  tuned.nn.rpss_test.values)
+    # manifest hparams are JSON-roundtripped (tuples -> lists)
+    import json
+    assert loaded.nn.best_hparams == json.loads(
+        json.dumps(tuned.nn.best_hparams))
+
+
+def test_training_type_load_missing_manifest(tmp_path):
+    """load mode without a prior tune run fails with a clear error."""
+    import dataclasses
+    import pytest as _pytest
+    from s2s_ismr_tpu.pipelines import get_config
+    from s2s_ismr_tpu.pipelines.tune import run_pipeline
+
+    cfg = dataclasses.replace(get_config("tune_ECMWF_com").fast_variant(),
+                              years=(2003, 2012), epochs=2)
+    with _pytest.raises(FileNotFoundError, match="winner manifest"):
+        run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                     synthetic_step=2.0, log=lambda *a: None,
+                     training_type="load")

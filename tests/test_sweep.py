@@ -64,3 +64,49 @@ def test_small_sweep_end_to_end():
         k = cfg.ct_kernel
         kern = res.winner_variables[f]["params"]["up1_convT"]["kernel"]
         assert kern.shape[:2] == k
+
+
+@pytest.mark.slow
+def test_program_memo_reuses_compiled_sweeps():
+    """A second same-shape sweep reuses every compiled bucket program
+    (the MME fast path: one sweep per model over identical shapes,
+    training.py:322-350) and, because x is a program input rather than a
+    baked-in constant, still computes on the NEW data."""
+    from s2s_ismr_tpu.train.sweep import _program_memo
+
+    def setup(seed):
+        b = synthetic.synthetic_hindcast(years=(2003, 2012), seed=seed,
+                                         signal=0.8,
+                                         domain=Domain(67, 98, 7, 38),
+                                         step=2.0).fillna(0.0)
+        fm = splits.bootstrap_masks(b.years, n_bootstraps=2)
+        wm = timeutils.week_window_matrix(1)
+        lab = jax.vmap(
+            lambda pm: terciles.fit_and_label(b.y, b.weeks, pm, wm, None)[0]
+        )(jnp.asarray(fm.train))
+        y_oh = jnp.nan_to_num(terciles.one_hot_labels(lab), nan=0.0)
+        return jnp.asarray(b.ensemble_mean()[..., None]), y_oh, fm
+
+    grid = TuningGrid(n_blocks=[2], n_filters=[1], ct_kernels=[(2, 2)],
+                      batch_sizes=[16], learning_rates=[1e-3, 1e-4],
+                      patience=4)
+    _program_memo.clear()
+    x1, y1, fm1 = setup(11)
+    r1 = run_unet_sweep(x1, y1, fm1.train, fm1.val, grid, epochs=4)
+    assert r1.timings["compile_cached_buckets"] == 0
+
+    # identical call -> full cache hit, bit-identical results
+    r1b = run_unet_sweep(x1, y1, fm1.train, fm1.val, grid, epochs=4)
+    assert r1b.timings["compile_cached_buckets"] == 1
+    np.testing.assert_array_equal(r1b.val_loss_table, r1.val_loss_table)
+    np.testing.assert_array_equal(r1b.predictions, r1.predictions)
+
+    # different data, same shapes -> cache hit AND different results
+    x2, y2, fm2 = setup(12)
+    r2 = run_unet_sweep(x2, y2, fm2.train, fm2.val, grid, epochs=4)
+    assert r2.timings["compile_cached_buckets"] == 1
+    assert not np.array_equal(r2.val_loss_table, r1.val_loss_table)
+
+    # different epochs (a TrainSettings static) -> miss
+    r3 = run_unet_sweep(x1, y1, fm1.train, fm1.val, grid, epochs=3)
+    assert r3.timings["compile_cached_buckets"] == 0
