@@ -44,6 +44,9 @@ def main(argv=None):
                     help="write jax.profiler traces + stage timings to DIR")
     ap.add_argument("--models", default=None,
                     help="comma-separated model list for `accs`")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated config list for `suite` "
+                         "(default: all tune configs)")
     ap.add_argument("--from-config", dest="from_config",
                     default="tune_ECMWF_com",
                     help="tune config whose winners `realtime` evaluates")
@@ -54,6 +57,8 @@ def main(argv=None):
         for name, cfg in CONFIGS.items():
             print(f"{name:18s} models={'+'.join(cfg.models):16s} "
                   f"years={cfg.years} week={cfg.week} dir={cfg.out_dir!r}")
+        print("suite              run several tune configs in one process "
+              "(shares compiled programs)")
         print("accs               CC/ACC skill-map sweep (ACCs.ipynb)")
         print("barplot            RPSS boxplot aggregation (Bar_plot.ipynb)")
         print("realtime           realtime eval + GradCAM + MJO/ENSO "
@@ -90,36 +95,67 @@ def main(argv=None):
         print(json.dumps(paths, indent=1))
         return 0
 
+    def _resolve(name):
+        cfg = get_config(name)
+        if args.fast:
+            cfg = cfg.fast_variant()
+        from dataclasses import replace
+        if args.epochs:
+            cfg = replace(cfg, epochs=args.epochs)
+        if args.folds:
+            cfg = replace(cfg, n_bootstraps=args.folds)
+        if args.standardize:
+            cfg = replace(cfg, standardize=True)
+        return cfg
+
+    def _run(cfg, **kw):
+        from .pipelines.tune import run_pipeline
+        import numpy as np
+        out = run_pipeline(cfg, source=args.source, out_root=args.out,
+                           make_plots=args.plots, seed=args.seed,
+                           synthetic_step=args.step,
+                           training_type=args.training_type, **kw)
+        return out, {
+            "config": cfg.name,
+            "elapsed_s": round(out.elapsed_s, 2),
+            "elr_rpss_test_mean": float(np.nanmean(out.elr.rpss_test.values)),
+            "nn_rpss_test_mean": float(np.nanmean(out.nn.rpss_test.values)),
+        }
+
+    if args.config == "suite":
+        # Whole-session runner: several configs in ONE process, so
+        # same-shape sweeps reuse compiled programs via the sweep's
+        # program memo (the reference runs 8 separate scripts, each
+        # paying its own Keras graph builds)
+        import os
+        import time
+        names = (args.configs.split(",") if args.configs
+                 else [n for n in CONFIGS])
+        t0 = time.time()
+        results = {}
+        for nm in names:
+            try:
+                cfg = _resolve(nm)
+            except KeyError as e:
+                print(f"error: {e.args[0]}", file=sys.stderr)
+                return 2
+            _, results[cfg.name] = _run(cfg)
+        summary = {"configs": results,
+                   "total_s": round(time.time() - t0, 2)}
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "suite_summary.json"), "w") as fh:
+            json.dump(summary, fh, indent=1)
+        print(json.dumps(summary, indent=1))
+        return 0
+
     try:
-        cfg = get_config(args.config)
+        cfg = _resolve(args.config)
     except KeyError as e:
         print(f"error: {e.args[0]}", file=sys.stderr)
         return 2
-    if args.fast:
-        cfg = cfg.fast_variant()
-    from dataclasses import replace
-    if args.epochs:
-        cfg = replace(cfg, epochs=args.epochs)
-    if args.folds:
-        cfg = replace(cfg, n_bootstraps=args.folds)
-    if args.standardize:
-        cfg = replace(cfg, standardize=True)
-
-    from .pipelines.tune import run_pipeline
-    out = run_pipeline(cfg, source=args.source, out_root=args.out,
-                       make_plots=args.plots, seed=args.seed,
-                       synthetic_step=args.step, profile_dir=args.profile,
-                       training_type=args.training_type)
-    summary = {
-        "config": cfg.name,
-        "elapsed_s": round(out.elapsed_s, 2),
-        "elr_rpss_test_mean": float(
-            __import__("numpy").nanmean(out.elr.rpss_test.values)),
-        "nn_rpss_test_mean": float(
-            __import__("numpy").nanmean(out.nn.rpss_test.values)),
-        "outputs": out.paths,
-        "figures": out.figures,
-    }
+    out, summary = _run(cfg, profile_dir=args.profile)
+    summary["outputs"] = out.paths
+    summary["figures"] = out.figures
     print(json.dumps(summary, indent=1))
     return 0
 

@@ -40,3 +40,13 @@ def test_barplot_without_outputs_raises(tmp_path):
     from s2s_ismr_tpu.pipelines.notebooks import run_barplot
     with pytest.raises(FileNotFoundError):
         run_barplot(out_root=str(tmp_path), log=lambda *a: None)
+
+
+def test_suite_unknown_config_errors(capsys):
+    assert cli.main(["suite", "--configs", "tune_NOPE"]) == 2
+    assert "unknown pipeline" in capsys.readouterr().err
+
+
+def test_suite_listed(capsys):
+    assert cli.main(["--list"]) == 0
+    assert "suite" in capsys.readouterr().out
