@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--configs", default=None,
                     help="comma-separated config list for `suite` "
                          "(default: all tune configs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="suite: skip configs already recorded in "
+                         "<out>/suite_summary.json from a prior run")
     ap.add_argument("--from-config", dest="from_config",
                     default="tune_ECMWF_com",
                     help="tune config whose winners `realtime` evaluates")
@@ -132,20 +135,35 @@ def main(argv=None):
         names = (args.configs.split(",") if args.configs
                  else [n for n in CONFIGS])
         t0 = time.time()
+        spath = os.path.join(args.out, "suite_summary.json")
         results = {}
+        if args.resume and os.path.exists(spath):
+            with open(spath) as fh:
+                results = json.load(fh).get("configs", {})
+            if results:
+                print(f"[suite] resuming past {sorted(results)}",
+                      file=sys.stderr)
+        os.makedirs(args.out, exist_ok=True)
+
+        def _dump(partial):
+            summary = {"configs": results,
+                       "total_s": round(time.time() - t0, 2),
+                       "partial": partial}
+            with open(spath, "w") as fh:
+                json.dump(summary, fh, indent=1)
+            return summary
+
         for nm in names:
             try:
                 cfg = _resolve(nm)
             except KeyError as e:
                 print(f"error: {e.args[0]}", file=sys.stderr)
                 return 2
+            if cfg.name in results:
+                continue
             _, results[cfg.name] = _run(cfg)
-        summary = {"configs": results,
-                   "total_s": round(time.time() - t0, 2)}
-        os.makedirs(args.out, exist_ok=True)
-        with open(os.path.join(args.out, "suite_summary.json"), "w") as fh:
-            json.dump(summary, fh, indent=1)
-        print(json.dumps(summary, indent=1))
+            _dump(partial=True)       # survive a kill mid-suite
+        print(json.dumps(_dump(partial=False), indent=1))
         return 0
 
     try:

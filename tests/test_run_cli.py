@@ -50,3 +50,46 @@ def test_suite_unknown_config_errors(capsys):
 def test_suite_listed(capsys):
     assert cli.main(["--list"]) == 0
     assert "suite" in capsys.readouterr().out
+
+
+def test_suite_incremental_and_resume(tmp_path, monkeypatch):
+    """suite writes the summary after every config (kill-safe) and
+    --resume skips configs already recorded."""
+    import json as _json
+    import numpy as np
+    from types import SimpleNamespace
+
+    calls = []
+
+    def fake_run_pipeline(cfg, **kw):
+        calls.append(cfg.name)
+        fld = SimpleNamespace(values=np.zeros((2, 4, 4)))
+        return SimpleNamespace(elr=SimpleNamespace(rpss_test=fld),
+                               nn=SimpleNamespace(rpss_test=fld),
+                               elapsed_s=1.0, paths={}, figures={})
+
+    from s2s_ismr_tpu.pipelines import tune as tune_mod
+    monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+
+    out = str(tmp_path)
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
+                     "--fast", "--out", out]) == 0
+    with open(tmp_path / "suite_summary.json") as fh:
+        s = _json.load(fh)
+    assert set(s["configs"]) == {"tune_ECMWF_com", "tune_GEFS_com"}
+    assert s["partial"] is False
+    assert calls == ["tune_ECMWF_com", "tune_GEFS_com"]
+
+    # resume: both already recorded -> no new pipeline runs
+    calls.clear()
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
+                     "--fast", "--out", out, "--resume"]) == 0
+    assert calls == []
+
+    # resume after dropping one config -> only that one reruns
+    s["configs"].pop("tune_GEFS_com")
+    with open(tmp_path / "suite_summary.json", "w") as fh:
+        _json.dump(s, fh)
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
+                     "--fast", "--out", out, "--resume"]) == 0
+    assert calls == ["tune_GEFS_com"]
