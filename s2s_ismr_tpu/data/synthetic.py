@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import timeutils
-from ..grid import Domain, regular_grid
+from ..grid import Domain, fixed_grid, regular_grid
 from .bundle import DataBundle
 
 # ensemble sizes mirroring the real sources: GEFS ~11, IITM 6 sub-models x
@@ -33,10 +33,12 @@ def _smooth2d(a, k=3):
     return a
 
 
-def _truth(years, season, domain, step, seed, ocean_frac, lead):
+def _truth(years, season, domain, step, seed, ocean_frac, lead,
+           grid_shape=None):
     """Shared 'observed' world: init dates, grid, truth anomalies, obs field."""
     rng = np.random.default_rng(seed)
-    lats, lons = regular_grid(domain, step)
+    lats, lons = (fixed_grid(domain, *grid_shape) if grid_shape
+                  else regular_grid(domain, step))
     ny, nx = len(lats), len(lons)
     s = timeutils.weekly_mondays(years, season)
     # T = S + mean lead (dataloader.py:214,277)
@@ -71,14 +73,16 @@ def _forecast(model, truth, n_members, seed, signal):
 def synthetic_hindcast(model="ECMWF", obs="IMD", years=(2003, 2018),
                        season="May-Sep", domain=Domain(67, 98, 7, 38),
                        step=1.0, n_members=None, seed=0, signal=0.6,
-                       ocean_frac=0.15, lead=(16, 30)):
+                       ocean_frac=0.15, lead=(16, 30), grid_shape=None):
     """Generate a DataBundle shaped exactly like gateway.get_data output.
 
     signal: correlation strength between the ensemble-mean forecast and the
     observed field (gives the U-Net something learnable).
     ocean_frac: fraction of pixels NaN-masked in y (IMD is land-only).
+    grid_shape: (n_lat, n_lon) native-grid point counts (overrides step).
     """
-    truth = _truth(years, season, domain, step, seed, ocean_frac, lead)
+    truth = _truth(years, season, domain, step, seed, ocean_frac, lead,
+                   grid_shape)
     x = _forecast(model, truth, n_members, seed + 1000, signal)
     t, lats, lons = truth[0], truth[1], truth[2]
     return DataBundle(x=x, y=truth[6], t=t, lats=lats, lons=lons,
@@ -91,10 +95,11 @@ def synthetic_ensemble(models=("GEFS", "IITM", "ECMWF"), seed=0, **kw):
     independent noise and biases."""
     defaults = dict(years=(2003, 2018), season="May-Sep",
                     domain=Domain(67, 98, 7, 38), step=1.0, signal=0.6,
-                    ocean_frac=0.15, lead=(16, 30))
+                    ocean_frac=0.15, lead=(16, 30), grid_shape=None)
     defaults.update(kw)
     truth = _truth(defaults["years"], defaults["season"], defaults["domain"],
-                   defaults["step"], seed, defaults["ocean_frac"], defaults["lead"])
+                   defaults["step"], seed, defaults["ocean_frac"],
+                   defaults["lead"], defaults["grid_shape"])
     t, lats, lons, y = truth[0], truth[1], truth[2], truth[6]
     xs, ys = {}, {}
     for i, model in enumerate(models):

@@ -110,3 +110,13 @@ def regular_grid(domain: Domain, step: float):
     lats = np.arange(domain.south, domain.north + step / 2, step)
     lons = np.arange(domain.west, domain.east + step / 2, step)
     return lats, lons
+
+
+def fixed_grid(domain: Domain, n_lat: int, n_lon: int):
+    """Grid with exact point counts spanning the domain box — stands in for
+    a model's NATIVE grid in synthetic runs, where the point count (not the
+    spacing) is what the pipeline depends on (e.g. ECMWF full-period native
+    23 rows padded to 24, tune_ECMWF_full.py:50-57; IITM 0.5-deg 64x64,
+    tune_IITM_full.py)."""
+    return (np.linspace(domain.south, domain.north, n_lat),
+            np.linspace(domain.west, domain.east, n_lon))

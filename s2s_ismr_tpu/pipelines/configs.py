@@ -35,6 +35,10 @@ class PipelineConfig:
     out_dir: str = ""                        # 'Common Period/' etc.
     pad_y_rows: int = 0                      # ECMWF full: 1
     pad_lat_value: Optional[float] = None    # ECMWF full: 40.5
+    # native-grid point counts (n_lat, n_lon) for the synthetic source;
+    # regrid=None configs otherwise have no step to derive a grid from
+    # (ECMWF full 23x24 pre-pad, IITM full 64x64, GEFS full 32x32)
+    synthetic_grid: Optional[Tuple[int, int]] = None
     tuning: TuningGrid = field(default_factory=TuningGrid)
     architecture: str = "unet"           # 'unet' | 'cnn' | 'mlp'
     predictor: str = "mean"              # 'mean' | 'multi_predictor' | 'stacked'
@@ -67,7 +71,7 @@ class PipelineConfig:
                            learning_rates=(g.learning_rates[0],),
                            patience=min(g.patience, 5))
         return replace(self, n_bootstraps=n_bootstraps, epochs=epochs,
-                       tuning=small)
+                       tuning=small, synthetic_grid=None)
 
 
 _COM_GRID = TuningGrid(n_blocks=(3,), n_filters=(2, 3),
@@ -90,7 +94,8 @@ CONFIGS: Dict[str, PipelineConfig] = {
         name="tune_ECMWF_full", models=("ECMWF",),
         domain=Domain(66, 100, 7, 39), years=(2003, 2022),
         custom_lead=(17, 30), regrid=None, out_dir="Full Period/",
-        pad_y_rows=1, pad_lat_value=40.5, tuning=_COM_GRID),
+        pad_y_rows=1, pad_lat_value=40.5, synthetic_grid=(23, 24),
+        tuning=_COM_GRID),
     # tune_GEFS_com.py: wk2 lead, blocks-sweep grid
     "tune_GEFS_com": PipelineConfig(
         name="tune_GEFS_com", models=("GEFS",), years=(2003, 2018),
@@ -98,7 +103,8 @@ CONFIGS: Dict[str, PipelineConfig] = {
     # tune_GEFS_full.py: 1989-2018 native grid
     "tune_GEFS_full": PipelineConfig(
         name="tune_GEFS_full", models=("GEFS",), years=(1989, 2018),
-        regrid=None, out_dir="Full Period/", tuning=_BLOCKS_GRID),
+        regrid=None, out_dir="Full Period/", synthetic_grid=(32, 32),
+        tuning=_BLOCKS_GRID),
     # tune_IITM_com.py
     "tune_IITM_com": PipelineConfig(
         name="tune_IITM_com", models=("IITM",), years=(2003, 2018),
@@ -107,7 +113,8 @@ CONFIGS: Dict[str, PipelineConfig] = {
     "tune_IITM_full": PipelineConfig(
         name="tune_IITM_full", models=("IITM",),
         domain=Domain(67, 98.5, 7, 38.5), years=(2003, 2022),
-        regrid=None, out_dir="Full Period/", tuning=_BLOCKS_GRID),
+        regrid=None, out_dir="Full Period/", synthetic_grid=(64, 64),
+        tuning=_BLOCKS_GRID),
     # tune_MME.py: 3-model blend with per-model leads (tune_MME.py:49)
     "tune_MME": PipelineConfig(
         name="tune_MME", models=("GEFS", "IITM", "ECMWF"), years=(2003, 2018),

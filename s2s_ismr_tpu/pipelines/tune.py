@@ -41,16 +41,19 @@ def load_bundles(cfg: PipelineConfig, source="synthetic", seed=0,
     if source == "synthetic":
         from ..data import synthetic
         step = synthetic_step or (cfg.regrid or 1.0)
+        # native-grid configs (regrid=None) carry explicit point counts;
+        # an explicit --step overrides them (smoke runs shrink the grid)
+        gshape = None if synthetic_step else cfg.synthetic_grid
         if cfg.is_mme:
             xs, _ = synthetic.synthetic_ensemble(
                 models=cfg.models, seed=seed, years=cfg.years,
                 season=cfg.season, domain=cfg.domain, step=step,
-                lead=cfg.lead(cfg.models[0]))
+                lead=cfg.lead(cfg.models[0]), grid_shape=gshape)
             return xs
         return {cfg.models[0]: synthetic.synthetic_hindcast(
             model=cfg.models[0], obs=cfg.obs, years=cfg.years,
             season=cfg.season, domain=cfg.domain, step=step, seed=seed,
-            lead=cfg.lead())}
+            lead=cfg.lead(), grid_shape=gshape)}
     elif source == "iridl":
         from ..data import gateway
         out = {}

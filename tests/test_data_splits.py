@@ -183,3 +183,31 @@ def test_pipeline_standardize_flag(tmp_path):
                        log=lambda *a: None)
     assert np.isfinite(out.nn.rpss_test.values).any()
     assert np.isfinite(out.elr.rpss_test.values).any()
+
+
+def test_native_grid_synthetic_shapes():
+    """regrid=None configs generate their reference native-grid workload
+    shapes from synthetic_grid (ECMWF full 23->24x24 with lat 40.5 pad,
+    tune_ECMWF_full.py:50-57; IITM full 64x64; GEFS full 32x32) — a plain
+    1-deg default produced indivisible grids that aborted the sweep."""
+    from s2s_ismr_tpu.pipelines import get_config
+    from s2s_ismr_tpu.pipelines.tune import load_bundles, _apply_pad
+
+    want = {"tune_ECMWF_full": ((23, 24), (24, 24)),
+            "tune_GEFS_full": ((32, 32), (32, 32)),
+            "tune_IITM_full": ((64, 64), (64, 64))}
+    for name, (raw, padded) in want.items():
+        cfg = get_config(name)
+        b = load_bundles(cfg, "synthetic")[cfg.models[0]]
+        assert b.x.shape[2:] == raw, name
+        b2 = _apply_pad(cfg, b)
+        assert b2.x.shape[2:] == padded, name
+        d = 2 ** max(cfg.tuning.n_blocks)
+        assert b2.x.shape[2] % d == 0 and b2.x.shape[3] % d == 0, name
+    # ECMWF pad appends the synthetic 40.5 lat row
+    cfg = get_config("tune_ECMWF_full")
+    b2 = _apply_pad(cfg, load_bundles(cfg, "synthetic")["ECMWF"])
+    assert b2.lats[-1] == 40.5
+    # an explicit step (smoke runs) still overrides the native grid
+    b3 = load_bundles(cfg, "synthetic", synthetic_step=2.0)["ECMWF"]
+    assert b3.x.shape[2:] != (23, 24)
