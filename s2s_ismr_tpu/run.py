@@ -139,7 +139,9 @@ def main(argv=None):
         results = {}
         if args.resume and os.path.exists(spath):
             with open(spath) as fh:
-                results = json.load(fh).get("configs", {})
+                prior = json.load(fh).get("configs", {})
+            # keep successes; failed configs are retried
+            results = {k: v for k, v in prior.items() if "error" not in v}
             if results:
                 print(f"[suite] resuming past {sorted(results)}",
                       file=sys.stderr)
@@ -161,10 +163,19 @@ def main(argv=None):
                 return 2
             if cfg.name in results:
                 continue
-            _, results[cfg.name] = _run(cfg)
+            try:
+                _, results[cfg.name] = _run(cfg)
+            except Exception as e:
+                # one config must not kill the session (e.g. a transient
+                # remote-compile drop); record it — --resume retries
+                results[cfg.name] = {
+                    "config": cfg.name,
+                    "error": f"{type(e).__name__}: {e}"}
+                print(f"[suite] {cfg.name} FAILED: {e}", file=sys.stderr)
             _dump(partial=True)       # survive a kill mid-suite
-        print(json.dumps(_dump(partial=False), indent=1))
-        return 0
+        summary = _dump(partial=False)
+        print(json.dumps(summary, indent=1))
+        return 1 if any("error" in r for r in results.values()) else 0
 
     try:
         cfg = _resolve(args.config)

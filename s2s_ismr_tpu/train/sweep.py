@@ -145,6 +145,25 @@ def _memo_key(tag, bucket_key, apool, bn, settings, args, mesh) -> tuple:
             _topology_key(mesh))
 
 
+def _compile_with_retry(lowered, attempts: int = 3):
+    """Compile with backoff on transient backend failures. The tunneled
+    remote-compile service occasionally drops a response mid-read
+    ('response body closed before all bytes were read'); that killed a
+    1-hour suite run once. Non-transient errors re-raise immediately."""
+    import time as _t
+    for a in range(attempts):
+        try:
+            return lowered.compile()
+        except Exception as e:          # jax.errors.JaxRuntimeError et al.
+            transient = any(s in str(e) for s in
+                            ("remote_compile", "INTERNAL", "UNAVAILABLE",
+                             "DEADLINE_EXCEEDED"))
+            if not transient or a == attempts - 1:
+                raise
+            _t.sleep(2.0 * (a + 1))
+    raise AssertionError("unreachable")
+
+
 def _lane_keys(base_seed, fold_idx, trial_idx):
     """Deterministic per-(fold, trial) PRNG, standing in for the reference's
     reset_random_seeds() + sequential Keras init draws (training.py:43)."""
@@ -255,7 +274,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         key_, bucket, prog, args, memo_key, hit = j
         if hit:
             return prog                 # memo hit: already a compiled exe
-        c = prog.compile()
+        c = _compile_with_retry(prog)
         _program_memo.put(memo_key, c)
         return c
 
@@ -278,9 +297,9 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             "pred", pk, apool, bn, None, (stacked, x), None)
         c = _program_memo.get(mk)
         if c is None:
-            c = jax.jit(jax.vmap(
+            c = _compile_with_retry(jax.jit(jax.vmap(
                 lambda v, xv, m=m: predict(m, v, xv),
-                in_axes=(0, None))).lower(stacked, x).compile()
+                in_axes=(0, None))).lower(stacked, x))
             _program_memo.put(mk, c)
         return c
 

@@ -93,3 +93,69 @@ def test_suite_incremental_and_resume(tmp_path, monkeypatch):
     assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
                      "--fast", "--out", out, "--resume"]) == 0
     assert calls == ["tune_GEFS_com"]
+
+
+def test_suite_isolates_config_failures(tmp_path, monkeypatch):
+    """A config that raises is recorded with an error, the suite continues
+    (exit 1), and --resume retries only the failed config."""
+    import json as _json
+    import numpy as np
+    from types import SimpleNamespace
+
+    calls = []
+    failed_once = []
+
+    def fake_run_pipeline(cfg, **kw):
+        calls.append(cfg.name)
+        if cfg.name == "tune_ECMWF_com" and not failed_once:
+            failed_once.append(True)
+            raise RuntimeError("remote_compile: body closed")
+        fld = SimpleNamespace(values=np.zeros((2, 4, 4)))
+        return SimpleNamespace(elr=SimpleNamespace(rpss_test=fld),
+                               nn=SimpleNamespace(rpss_test=fld),
+                               elapsed_s=1.0, paths={}, figures={})
+
+    from s2s_ismr_tpu.pipelines import tune as tune_mod
+    monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+
+    out = str(tmp_path)
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
+                     "--fast", "--out", out]) == 1
+    with open(tmp_path / "suite_summary.json") as fh:
+        s = _json.load(fh)
+    assert "error" in s["configs"]["tune_ECMWF_com"]
+    assert "error" not in s["configs"]["tune_GEFS_com"]
+    assert calls == ["tune_ECMWF_com", "tune_GEFS_com"]
+
+    calls.clear()
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
+                     "--fast", "--out", out, "--resume"]) == 0
+    assert calls == ["tune_ECMWF_com"]   # only the failed one reruns
+
+
+def test_compile_with_retry_transient():
+    from s2s_ismr_tpu.train.sweep import _compile_with_retry
+
+    class Flaky:
+        def __init__(self, fails, msg):
+            self.fails, self.msg, self.n = fails, msg, 0
+
+        def compile(self):
+            if self.n < self.fails:
+                self.n += 1
+                raise RuntimeError(self.msg)
+            return "exe"
+
+    # transient message -> retried to success
+    f = Flaky(2, "INTERNAL: remote_compile: read body: closed")
+    assert _compile_with_retry(f) == "exe"
+    assert f.n == 2
+    # non-transient -> raises immediately
+    f2 = Flaky(1, "lowering error: bad shapes")
+    with pytest.raises(RuntimeError):
+        _compile_with_retry(f2)
+    assert f2.n == 1
+    # transient but exhausted -> raises
+    f3 = Flaky(5, "UNAVAILABLE: server gone")
+    with pytest.raises(RuntimeError):
+        _compile_with_retry(f3, attempts=2)
