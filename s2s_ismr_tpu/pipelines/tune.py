@@ -99,6 +99,25 @@ def _apply_pad(cfg: PipelineConfig, b: DataBundle) -> DataBundle:
     return replace(b, x=x, y=y, lats=lats)
 
 
+# module-level jits: JAX's program cache keys on function identity, so a
+# per-call lambda recompiles the same program for every config in a suite
+# session (20-500 s each through the remote-compile TPU backend); these
+# compile once per process per input-shape set
+@jax.jit
+def _elr_fit_folds(y, weeks, train_masks, wm):
+    def fold_fit(pm):
+        e, p = terciles.rolling_edges(y, weeks, pm, wm)
+        return (terciles.elr_targets(y, weeks, e, p),
+                terciles.label_terciles(y, weeks, e, p, True))
+    return jax.vmap(fold_fit)(train_masks)
+
+
+@jax.jit
+def _rpss_folds_j(climo, preds, labels, masks):
+    return jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0))(
+        climo, preds, labels, masks)
+
+
 # -------------------------------------------------------------- ELR branch
 @dataclass
 class ElrResult:
@@ -117,17 +136,12 @@ def run_elr_branch(cfg: PipelineConfig, bundles, log=print) -> ElrResult:
     fm = splits.bootstrap_masks_elr(first.years, cfg.n_bootstraps,
                                     frac_test=cfg.elr_frac_test)
     wm = timeutils.week_window_matrix(1)
-    weeks = first.weeks
-
-    def fold_fit(pm):
-        e, p = terciles.rolling_edges(y_shared, weeks, pm, wm)
-        return (terciles.elr_targets(y_shared, weeks, e, p),
-                terciles.label_terciles(y_shared, weeks, e, p, True))
 
     # all folds fitted in ONE vmapped program (the reference refits the
     # labeler per fold in Python; the per-fold loop here used to cost a
     # compile + host sync per fold)
-    targets, labels = jax.jit(jax.vmap(fold_fit))(jnp.asarray(fm.train))
+    targets, labels = _elr_fit_folds(y_shared, first.weeks,
+                                     jnp.asarray(fm.train), wm)
     targets = np.asarray(targets)
     labels = np.asarray(labels)
 
@@ -148,11 +162,12 @@ def run_elr_branch(cfg: PipelineConfig, bundles, log=print) -> ElrResult:
     climo = metrics.climo_forecast(bundles[names[-1]].ensemble_mean())
     # all folds in one jitted program (the eager per-fold loop paid a
     # ~27ms host sync per fold through the TPU tunnel)
-    rpss_folds = jax.jit(jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0)))
-    r_tr = np.asarray(rpss_folds(climo, jnp.asarray(probs),
-                                 jnp.asarray(labels), jnp.asarray(fm.train)))
-    r_te = np.asarray(rpss_folds(climo, jnp.asarray(probs),
-                                 jnp.asarray(labels), jnp.asarray(fm.test)))
+    r_tr = np.asarray(_rpss_folds_j(climo, jnp.asarray(probs),
+                                    jnp.asarray(labels),
+                                    jnp.asarray(fm.train)))
+    r_te = np.asarray(_rpss_folds_j(climo, jnp.asarray(probs),
+                                    jnp.asarray(labels),
+                                    jnp.asarray(fm.test)))
     coords = {"Y": first.lats, "X": first.lons}
     return ElrResult(
         rpss_train=Field(r_tr, ("bootstrap", "Y", "X"), coords, "rpss"),
@@ -209,12 +224,11 @@ def _nn_rpss(filled, names, preds, labels, fm):
     """RPSS of blended predictions vs the reference's constant-1/3 climo
     (last-iterated model's predictor quirk, performance_metrics.py:11-23)."""
     climo = metrics.climo_forecast(filled[names[-1]].ensemble_mean())
-    rpss_folds = jax.jit(jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0)))
     preds_j, labels_j = jnp.asarray(preds), jnp.asarray(labels)
 
     def _r(mask_set):
-        return np.asarray(rpss_folds(climo, preds_j, labels_j,
-                                     jnp.asarray(mask_set)))
+        return np.asarray(_rpss_folds_j(climo, preds_j, labels_j,
+                                        jnp.asarray(mask_set)))
     return _r
 
 
