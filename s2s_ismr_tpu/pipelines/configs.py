@@ -60,9 +60,11 @@ class PipelineConfig:
             return self.custom_leads[model]
         return self.custom_lead or LEAD_MAPPING[self.week]
 
-    def fast_variant(self, n_bootstraps=2, epochs=6, step=2.0):
+    def fast_variant(self, n_bootstraps=2, epochs=6):
         """Shrunken config for smoke runs/CI: fewer folds/epochs, a 2-trial
-        grid. Not part of reference parity — a framework affordance."""
+        grid. Not part of reference parity — a framework affordance.
+        synthetic_grid is kept: native-grid configs need it to stay
+        divisible (an explicit --step still overrides it)."""
         g = self.tuning
         small = TuningGrid(n_blocks=(min(g.n_blocks),),
                            n_filters=(min(g.n_filters),),
@@ -71,7 +73,7 @@ class PipelineConfig:
                            learning_rates=(g.learning_rates[0],),
                            patience=min(g.patience, 5))
         return replace(self, n_bootstraps=n_bootstraps, epochs=epochs,
-                       tuning=small, synthetic_grid=None)
+                       tuning=small)
 
 
 _COM_GRID = TuningGrid(n_blocks=(3,), n_filters=(2, 3),

@@ -220,7 +220,7 @@ def _nn_setup(cfg: PipelineConfig, bundles, log):
     return names, filled, first, fm, np.asarray(lab_folds), y_oh
 
 
-def _nn_rpss(filled, names, preds, labels, fm):
+def _nn_rpss(filled, names, preds, labels):
     """RPSS of blended predictions vs the reference's constant-1/3 climo
     (last-iterated model's predictor quirk, performance_metrics.py:11-23)."""
     climo = metrics.climo_forecast(filled[names[-1]].ensemble_mean())
@@ -291,7 +291,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
     else:
         preds = per_model_preds[0]
 
-    _r = _nn_rpss(filled, names, preds, labels, fm)
+    _r = _nn_rpss(filled, names, preds, labels)
     coords = {"Y": first.lats, "X": first.lons}
     return NNResult(
         rpss_train=Field(_r(fm.train), ("bootstrap", "Y", "X"), coords, "rpss"),
@@ -312,7 +312,7 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
     models/{dir}{model}_{obs}/{week} tree (the reference deletes that tree
     at end-of-run, tune_ECMWF_com.py:183-186; this framework keeps it)."""
     from ..train import checkpoint
-    from ..train.engine import predict
+    from ..train.sweep import winner_forward
 
     names, filled, first, fm, labels, _ = _nn_setup(cfg, bundles, log)
     per_model_preds = []
@@ -356,9 +356,7 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
             lanes = fs + [fs[0]] * (F - len(fs))
             vstack = jax.tree.map(lambda *a: jnp.stack(a),
                                   *[loaded[f][1] for f in lanes])
-            preds_g = np.asarray(jax.jit(jax.vmap(
-                lambda v, xv, m=model: predict(m, v, xv),
-                in_axes=(0, None)))(vstack, x))
+            preds_g = np.asarray(winner_forward(model, vstack, x))
             for i, f in enumerate(fs):
                 preds_f[f] = preds_g[i]
         log(f"[nn] model {n}: loaded {F} winners "
@@ -372,7 +370,7 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
     else:
         preds = per_model_preds[0]
 
-    _r = _nn_rpss(filled, names, preds, labels, fm)
+    _r = _nn_rpss(filled, names, preds, labels)
     coords = {"Y": first.lats, "X": first.lons}
     return NNResult(
         rpss_train=Field(_r(fm.train), ("bootstrap", "Y", "X"), coords, "rpss"),

@@ -134,37 +134,60 @@ def main(argv=None):
         import time
         names = (args.configs.split(",") if args.configs
                  else [n for n in CONFIGS])
+        # resolve every name up front: a typo in the 3rd config must not
+        # abort the session after an hour of work on the first two
+        try:
+            cfgs = [_resolve(nm) for nm in names]
+        except KeyError as e:
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
+        # run-settings fingerprint: --resume only reuses results produced
+        # under identical settings (a fast smoke must not satisfy a later
+        # production resume)
+        fingerprint = {k: getattr(args, k) for k in
+                       ("fast", "epochs", "folds", "standardize", "source",
+                        "seed", "step", "training_type")}
         t0 = time.time()
         spath = os.path.join(args.out, "suite_summary.json")
         results = {}
         if args.resume and os.path.exists(spath):
-            with open(spath) as fh:
-                prior = json.load(fh).get("configs", {})
-            # keep successes; failed configs are retried
-            results = {k: v for k, v in prior.items() if "error" not in v}
-            if results:
-                print(f"[suite] resuming past {sorted(results)}",
+            try:
+                with open(spath) as fh:
+                    prior = json.load(fh)
+            except json.JSONDecodeError:
+                print(f"[suite] {spath} is corrupt; starting fresh",
                       file=sys.stderr)
+                prior = {}
+            if prior.get("settings", {}) == fingerprint:
+                # keep successes; failed configs are retried
+                results = {k: v for k, v in prior.get("configs", {}).items()
+                           if "error" not in v}
+                if results:
+                    print(f"[suite] resuming past {sorted(results)}",
+                          file=sys.stderr)
+            elif prior:
+                print("[suite] prior summary has different run settings; "
+                      "starting fresh", file=sys.stderr)
         os.makedirs(args.out, exist_ok=True)
 
         def _dump(partial):
-            summary = {"configs": results,
+            summary = {"configs": results, "settings": fingerprint,
                        "total_s": round(time.time() - t0, 2),
                        "partial": partial}
-            with open(spath, "w") as fh:
+            tmp = spath + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump(summary, fh, indent=1)
+            os.replace(tmp, spath)    # atomic: a kill can't truncate it
             return summary
 
-        for nm in names:
-            try:
-                cfg = _resolve(nm)
-            except KeyError as e:
-                print(f"error: {e.args[0]}", file=sys.stderr)
-                return 2
+        for cfg in cfgs:
             if cfg.name in results:
                 continue
+            kw = {}
+            if args.profile:
+                kw["profile_dir"] = os.path.join(args.profile, cfg.name)
             try:
-                _, results[cfg.name] = _run(cfg)
+                _, results[cfg.name] = _run(cfg, **kw)
             except Exception as e:
                 # one config must not kill the session (e.g. a transient
                 # remote-compile drop); record it — --resume retries

@@ -103,7 +103,10 @@ class _ProgramMemo:
     deserialize, see compile_cache.py), this holds live executables and
     works on every backend. Bounded FIFO; GIL-thread-safe."""
 
-    def __init__(self, max_entries: int = 64):
+    def __init__(self, max_entries: int = 512):
+        # sized for the default 8-config suite: each _BLOCKS_GRID sweep
+        # inserts ~36 entries (18 train + 18 pred); 64 would evict the
+        # shared com-cluster programs before MME/2MME reuse them
         self._d: Dict[tuple, Any] = {}
         self.max_entries = max_entries
 
@@ -162,6 +165,21 @@ def _compile_with_retry(lowered, attempts: int = 3):
                 raise
             _t.sleep(2.0 * (a + 1))
     raise AssertionError("unreachable")
+
+
+def winner_forward(model, vstack, x):
+    """Memoized, retry-wrapped F-lane winner forward — the same vmapped
+    program shape the sweep's collect phase compiles, shared by the
+    training_type='load' replay path (a fresh jit(lambda) per call would
+    pay a remote compile per model per group)."""
+    mk = ("winner_forward", model, _avals_key((vstack, x)))
+    c = _program_memo.get(mk)
+    if c is None:
+        c = _compile_with_retry(jax.jit(jax.vmap(
+            lambda v, xv: predict(model, v, xv),
+            in_axes=(0, None))).lower(vstack, x))
+        _program_memo.put(mk, c)
+    return c(vstack, x)
 
 
 def _lane_keys(base_seed, fold_idx, trial_idx):

@@ -159,3 +159,10 @@ def test_compile_with_retry_transient():
     f3 = Flaky(5, "UNAVAILABLE: server gone")
     with pytest.raises(RuntimeError):
         _compile_with_retry(f3, attempts=2)
+
+
+def test_fast_variant_keeps_native_grid():
+    """ECMWF_full --fast must keep its divisible native grid (a cleared
+    synthetic_grid regressed to an indivisible 34x35 abort)."""
+    cfg = get_config("tune_ECMWF_full").fast_variant()
+    assert cfg.synthetic_grid == (23, 24)
