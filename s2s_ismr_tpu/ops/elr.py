@@ -128,13 +128,30 @@ def elr_fold(x_mean, targets, train_mask, test_mask, y_raw):
     return probs.reshape((T,) + shape_s + (3,))
 
 
-def elr_folds(x_mean, targets_folds, train_masks, test_masks, y_raw):
+def elr_folds(x_mean, targets_folds, train_masks, test_masks, y_raw,
+              mesh=None):
     """vmap over folds: targets_folds (F, 2, T, *S), masks (F, T).
-    Returns (F, T, *S, 3)."""
-    return jax.vmap(elr_fold, in_axes=(None, 0, 0, 0, None))(
-        jnp.asarray(x_mean), jnp.asarray(targets_folds),
-        jnp.asarray(train_masks), jnp.asarray(test_masks),
-        jnp.asarray(y_raw))
+    Returns (F, T, *S, 3).
+
+    mesh: optional jax.sharding.Mesh — shards the Y (lat-row) axis over
+    the devices. Every pixel's GLM is independent, so the partitioned
+    program has zero cross-device collectives; Y is always divisible by
+    the pipeline's 2^n_blocks grid constraint (8/16/24/32/64 rows)."""
+    args = (jnp.asarray(x_mean), jnp.asarray(targets_folds),
+            jnp.asarray(train_masks), jnp.asarray(test_masks),
+            jnp.asarray(y_raw))
+    f = jax.vmap(elr_fold, in_axes=(None, 0, 0, 0, None))
+    if mesh is None:
+        return f(*args)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ax = mesh.axis_names[0]
+    in_sh = (NamedSharding(mesh, P(None, ax)),               # x (T,Y,X)
+             NamedSharding(mesh, P(None, None, None, ax)),   # tg (F,2,T,Y,X)
+             NamedSharding(mesh, P()),                       # masks (F,T)
+             NamedSharding(mesh, P()),
+             NamedSharding(mesh, P(None, ax)))               # y (T,Y,X)
+    out_sh = NamedSharding(mesh, P(None, None, ax))          # (F,T,Y,X,3)
+    return jax.jit(f, in_shardings=in_sh, out_shardings=out_sh)(*args)
 
 
 def blend_probabilities(prob_list):

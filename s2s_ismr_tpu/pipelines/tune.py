@@ -128,7 +128,8 @@ class ElrResult:
     masks: splits.FoldMasks
 
 
-def run_elr_branch(cfg: PipelineConfig, bundles, log=print) -> ElrResult:
+def run_elr_branch(cfg: PipelineConfig, bundles, log=print,
+                   mesh=None) -> ElrResult:
     names = list(bundles)
     first = bundles[names[0]]
     y_shared = np.mean(np.stack([bundles[n].y for n in names]), axis=0) \
@@ -149,7 +150,7 @@ def run_elr_branch(cfg: PipelineConfig, bundles, log=print) -> ElrResult:
     for n in names:
         xm = bundles[n].ensemble_mean()
         probs = np.asarray(elr_ops.elr_folds(xm, targets, fm.train, fm.test,
-                                             y_shared))
+                                             y_shared, mesh=mesh))
         per_model_probs.append(probs)
         log(f"[elr] model {n}: fitted {probs.shape}")
     if cfg.is_mme:
@@ -468,7 +469,7 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
         # load mode never trains, so branch overlap buys nothing
         log("########### ELR ###########")
         with trace(profile_dir), timer.stage("elr"):
-            elr_res = run_elr_branch(cfg, bundles, log)
+            elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
         log("########### Neural Network (load) ###########")
         with timer.stage("nn"):
             nn_res = run_nn_branch_load(cfg, bundles, out_root=out_root,
@@ -481,12 +482,12 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                 nn_fut = ex.submit(run_nn_branch, cfg, bundles, log,
                                    timer, mesh)
                 with timer.stage("elr"):
-                    elr_res = run_elr_branch(cfg, bundles, log)
+                    elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
                 nn_res = nn_fut.result()
     else:
         log("########### ELR ###########")
         with trace(profile_dir), timer.stage("elr"):
-            elr_res = run_elr_branch(cfg, bundles, log)
+            elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
         log("########### Neural Network ###########")
         with trace(profile_dir and os.path.join(profile_dir, "nn")), \
                 timer.stage("nn"):

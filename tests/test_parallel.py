@@ -82,3 +82,34 @@ def test_sweep_over_mesh_matches_single_device():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(
         [t.index for t in res8.best_trial], [t.index for t in res1.best_trial])
+
+
+def test_elr_folds_mesh_matches_single_device():
+    """Pixel-sharded ELR (Y axis over the mesh) matches the unsharded
+    program — each pixel's GLM is independent, zero collectives."""
+    import numpy as np
+    import jax.numpy as jnp
+    from s2s_ismr_tpu import timeutils
+    from s2s_ismr_tpu.data import synthetic
+    from s2s_ismr_tpu.grid import Domain
+    from s2s_ismr_tpu.ops import elr as elr_ops, terciles
+    from s2s_ismr_tpu.parallel import mesh as pmesh
+    from s2s_ismr_tpu.train import splits
+
+    b = synthetic.synthetic_hindcast(years=(2003, 2010), seed=3,
+                                     domain=Domain(67, 98, 7, 38), step=2.0)
+    fm = splits.bootstrap_masks_elr(b.years, n_bootstraps=3)
+    wm = timeutils.week_window_matrix(1)
+
+    def fold_fit(pm):
+        e, p = terciles.rolling_edges(b.y, b.weeks, pm, wm)
+        return (terciles.elr_targets(b.y, b.weeks, e, p),
+                terciles.label_terciles(b.y, b.weeks, e, p, True))
+    targets, _ = jax.jit(jax.vmap(fold_fit))(jnp.asarray(fm.train))
+
+    xm = b.ensemble_mean()
+    ref = np.asarray(elr_ops.elr_folds(xm, targets, fm.train, fm.test, b.y))
+    m = pmesh.sweep_mesh()
+    shd = np.asarray(elr_ops.elr_folds(xm, targets, fm.train, fm.test, b.y,
+                                       mesh=m))
+    np.testing.assert_allclose(shd, ref, rtol=1e-5, atol=1e-6)
