@@ -97,10 +97,15 @@ def s_window(first_year, final_year, season, weekly=False) -> str:
 
 
 def ecmwf_lead_select(lead_start, lead_end) -> str:
-    """ECMWF stores cumulative precip; difference the lead endpoints and
-    convert meters of water to mm."""
-    return (f"L/{lead_start}/{lead_end}/VALUES/"
-            "%5BL%5Ddifferences/"
+    """ECMWF lead-endpoint selection (cumulative precip; the differencing
+    happens after start selection, ecmwf_diff_convert)."""
+    return f"L/{lead_start}/{lead_end}/VALUES/"
+
+
+def ecmwf_diff_convert() -> str:
+    """Difference the cumulative-precip lead endpoints and convert meters
+    of water to mm (reference template body, dataloader.py:35-36)."""
+    return ("%5BL%5Ddifferences/"
             "c%3A//name//water_density/def/998/(kg/m3)/%3Ac/div/"
             "/mm/unitconvert//name/(prcp)/def/-999/setmissing_value/")
 
@@ -148,9 +153,15 @@ def hindcast_url(model, years, lead, season, domain, regrid=None,
     path = HINDCAST_PATHS[model]
     rg = regrid_global(regrid) if regrid else ""
     if model.startswith("ECMWF"):
+        # reference order (dataloader.py:35-36): lead VALUES -> S/7/STEP
+        # weekly subsample -> season S VALUES -> [L]differences+convert ->
+        # hdate RANGE. ECMWF S2S starts are twice-weekly; omitting the
+        # 7-day STEP silently doubles the reforecast sample
         expr = (path + "/" + rg + domain_range(west, east, south, north)
                 + ecmwf_lead_select(*lead)
+                + "S/7/STEP/"
                 + f"S/({season}%20{fcast_year})/VALUES/"
+                + ecmwf_diff_convert()
                 + ecmwf_hdate_range(*years)
                 + T_GRIDDER_ECMWF.format(fcast_year=fcast_year)
                 + "L/removeGRID/")
@@ -175,7 +186,9 @@ def predictand_url(model, obs, years, lead, season, domain,
     if model.startswith("ECMWF"):
         model_part = (path + "/" + rg + domain_range(west, east, south, north)
                       + ecmwf_lead_select(*lead)
+                      + "S/7/STEP/"
                       + f"S/({season}%20{fcast_year})/VALUES/"
+                      + ecmwf_diff_convert()
                       + ecmwf_hdate_range(*years)
                       + T_GRIDDER_ECMWF.format(fcast_year=fcast_year))
     else:
@@ -201,8 +214,12 @@ def forecast_url(model, day, month_name, year, lead, domain,
     if model == "ECMWF":
         from ..timeutils import MONTHS
         m = MONTHS[month_name]
-        key = "ECMWF_CY41-47" if (m < 6 or (m == 6 and day < 27)) \
-            else "ECMWF_CY48"
+        # cycle cutover is a DATE (2023-06-27); the reference compares
+        # month/day only because it was written for 2023
+        # (dataloader.py:373-379) — honoring the year keeps any other
+        # operational year from selecting the wrong cycle dataset
+        key = ("ECMWF_CY41-47" if (year, m, day) < (2023, 6, 27)
+               else "ECMWF_CY48")
     if key not in FORECAST_PATHS:
         raise ValueError(f"unknown forecast source {model!r}")
     path = FORECAST_PATHS[key]
@@ -210,8 +227,11 @@ def forecast_url(model, day, month_name, year, lead, domain,
     sel = f"S/(0000%20{day}%20{month_name}%20{year})/VALUES/"
     dom = domain_range(west, east, south, north)
     if model == "ECMWF":
+        # realtime templates keep differences+convert inline (no S/7/STEP:
+        # a single start is selected), dataloader.py:356-357
         body = (path + "/" + rg + sel + dom
-                + ecmwf_lead_select(*lead) + "%5BL%5D/average")
+                + ecmwf_lead_select(*lead) + ecmwf_diff_convert()
+                + "%5BL%5D/average")
     else:
         scale = "/86400/mul" if key == "GEFS" else ""
         body = (path + "/" + rg + sel + dom

@@ -177,8 +177,13 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
         if nino34 is None:
             nino34 = rng.normal(0, 0.8, size=int(rt.sum()))
 
+    # tercile edges are fit on the RAW obs record: the fillna'd tensor
+    # would give ocean pixels finite all-zero edges, labeling the NaN
+    # verifying obs as 'normal' and polluting the RPSS map with fake
+    # skill values (raw NaN pools -> NaN edges -> NaN labels -> NaN RPSS)
     res = evaluate_realtime(
-        model, variables, x_rt, b.y[hc], b.weeks[hc], b.weeks[rt],
+        model, variables, x_rt, bundles[model_name].y[hc],
+        b.weeks[hc], b.weeks[rt],
         obs=bundles[model_name].y[rt], rmm=rmm, nino34=nino34)
 
     out_dir = os.path.join(out_root, "outputs", "Realtime",

@@ -197,6 +197,12 @@ def _nn_setup(cfg: PipelineConfig, bundles, log):
     preprocessing.py:415)."""
     names = list(bundles)
     filled = {n: b.fillna(0.0) for n, b in bundles.items()}
+    if cfg.predictor == "stacked" and cfg.is_mme:
+        raise ValueError(
+            "predictor='stacked' is not supported for MME configs: each "
+            "model tiles T by its own member count, so the cross-model "
+            "obs mean is undefined (no reference script combines them "
+            "either, training.py:146-238 vs tune_MME.py)")
     if cfg.predictor == "stacked":
         # members become extra batch rows; labels/splits/metrics all run on
         # the tiled MT axis (preprocessing.py:29-35, training.py:146-238)
@@ -243,13 +249,15 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
     per_model_preds = []
     for n in names:
         x = jnp.asarray(filled[n].predictor_images(cfg.predictor))
-        d = 2 ** max(cfg.tuning.n_blocks)
-        if cfg.architecture == "unet" and (x.shape[1] % d or x.shape[2] % d):
-            raise ValueError(
-                f"model {n}: grid {x.shape[1]}x{x.shape[2]} is not divisible "
-                f"by 2^n_blocks={d} — choose a domain/step that yields a "
-                f"divisible grid or pad via DataBundle.pad_to_grid "
-                f"(reference constraint, tune_ECMWF_com.py:26)")
+        if cfg.architecture == "unet":
+            from ..grid import check_divisible
+            try:
+                check_divisible(x.shape[1], x.shape[2],
+                                max(cfg.tuning.n_blocks))
+            except ValueError as e:
+                raise ValueError(f"model {n}: {e} — choose a domain/step "
+                                 f"that yields a divisible grid or pad via "
+                                 f"DataBundle.pad_to_grid") from None
         t0 = time.time()
         if cfg.architecture == "unet":
             res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,

@@ -61,22 +61,6 @@ def week_window_matrix(window=1):
     return m
 
 
-def nearest_week_map(present_weeks):
-    """For every ISO week 1..53, the nearest week in `present_weeks`.
-
-    Replicates xarray's ``edges.sel(week=week, method='nearest')``
-    (preprocessing.py:141): labeled weeks absent from the training pool
-    borrow the closest trained week's edges. Uses pandas' own nearest
-    indexer so tie-breaking matches the reference bit-for-bit.
-    """
-    present = np.unique(np.asarray(present_weeks, dtype=np.int64))
-    if present.size == 0:
-        raise ValueError("no weeks present")
-    idx = pd.Index(present)
-    pos = idx.get_indexer(np.arange(1, N_ISO_WEEKS + 1), method="nearest")
-    return present[pos].astype(np.int32)  # shape (53,), values are ISO weeks
-
-
 MONTHS = {"Jan": 1, "Feb": 2, "Mar": 3, "Apr": 4, "May": 5, "Jun": 6,
           "Jul": 7, "Aug": 8, "Sep": 9, "Oct": 10, "Nov": 11, "Dec": 12}
 

@@ -194,7 +194,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                    grid: TuningGrid, epochs: int = 100, base_seed: int = 42,
                    apool: bool = True, bn: bool = True,
                    model_factory: Callable[[Trial], Any] | None = None,
-                   donate: bool = True, verbose: bool = False,
+                   verbose: bool = False,
                    mesh=None, early_exit: bool = True) -> SweepResult:
     """Run the full tuning sweep.
 
@@ -454,15 +454,25 @@ def run_fixed_training(model, x, y_oh_folds, train_masks, val_masks,
                              patience=patience, early_exit=early_exit)
     F = train_masks.shape[0]
 
-    def lane(y_oh, tmask, vmask, key):
-        best, vloss, _ = train_fold(model, x, y_oh, tmask, vmask,
-                                    jnp.float32(lr), key, settings)
-        return best, vloss, predict(model, best, x)
+    def lane(xv, y_oh, tmask, vmask, lr_, key):
+        best, vloss, _ = train_fold(model, xv, y_oh, tmask, vmask,
+                                    lr_, key, settings)
+        return best, vloss, predict(model, best, xv)
 
     keys = jnp.stack([_lane_keys(base_seed, f, 0) for f in range(F)])
-    best_vars, vloss, preds = jax.jit(jax.vmap(lane))(
-        jnp.asarray(y_oh_folds), jnp.asarray(train_masks),
-        jnp.asarray(val_masks), keys)
+    args = (x, jnp.asarray(y_oh_folds), jnp.asarray(train_masks),
+            jnp.asarray(val_masks), jnp.full((F,), lr, jnp.float32), keys)
+    # memoized like the sweep buckets (x/lr are inputs; model+settings are
+    # the statics): cnn/mlp MME configs and repeated same-shape fixed runs
+    # reuse one compiled program instead of paying a remote compile each
+    mk = ("fixed", model, _memo_key("fixed", None, None, None, settings,
+                                    args, None))
+    c = _program_memo.get(mk)
+    if c is None:
+        lanes = jax.jit(jax.vmap(lane, in_axes=(None, 0, 0, 0, 0, 0)))
+        c = _compile_with_retry(lanes.lower(*args))
+        _program_memo.put(mk, c)
+    best_vars, vloss, preds = c(*args)
     var_list = [jax.tree.map(lambda a, f=f: np.asarray(a[f]), best_vars)
                 for f in range(F)]
     return np.asarray(vloss), np.asarray(preds), var_list

@@ -91,14 +91,20 @@ def test_week_window_matrix_consistency():
         assert sorted(timeutils.week_window(w)) == sorted(cols.tolist())
 
 
-def test_nearest_week_map_matches_pandas_sel():
-    present = np.array([18, 22, 30, 40])
-    nearest = timeutils.nearest_week_map(present)
-    # pandas reindex nearest is what xarray .sel(method='nearest') uses
-    idx = pd.Index(present)
+def test_nearest_present_week_matches_pandas_sel():
+    """The on-device nearest-week borrow (the production labeler path,
+    ops/terciles.py) must match pandas' nearest indexer — what xarray's
+    edges.sel(week=w, method='nearest') uses (preprocessing.py:141) —
+    including the tie-break toward the larger week."""
+    from s2s_ismr_tpu.ops.terciles import nearest_present_week
+    present_weeks = np.array([18, 22, 30, 40])
+    present = np.zeros(53, bool)
+    present[present_weeks - 1] = True
+    nearest0 = np.asarray(nearest_present_week(present))  # 0-based
+    idx = pd.Index(present_weeks)
     for wk in range(1, 54):
         pos = idx.get_indexer([wk], method="nearest")[0]
-        assert nearest[wk - 1] == present[pos]
+        assert nearest0[wk - 1] + 1 == present_weeks[pos], wk
 
 
 def test_weekly_mondays_season_filter():

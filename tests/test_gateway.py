@@ -151,6 +151,14 @@ def test_url_construction_sanity():
     url2 = iridl.hindcast_url("ECMWF_perturbed", (2003, 2018), (16, 30),
                               "May-Sep", (67, 98, 7, 38))
     assert "reforecast" in url2 and "hdate/(2003)/(2018)/RANGE" in url2
+    # reference operator order (dataloader.py:35): weekly S subsample
+    # BEFORE the season S VALUES, differences AFTER (ECMWF starts are
+    # twice-weekly; omitting S/7/STEP doubles the sample)
+    assert ("L/16/30/VALUES/S/7/STEP/S/(May-Sep%202023)/VALUES/"
+            "%5BL%5Ddifferences" in url2)
+    purl2 = iridl.predictand_url("ECMWF_perturbed", "IMD", (2003, 2018),
+                                 (16, 30), "May-Sep", (67, 98, 7, 38))
+    assert "S/7/STEP/" in purl2
     purl = iridl.predictand_url("GEFS", "IMD", (2003, 2018), (9, 15),
                                 "May-Sep", (67, 98, 7, 38), regrid=1)
     assert "regridLinear" in purl and "runningAverage" in purl \
@@ -167,6 +175,12 @@ def test_forecast_url_ecmwf_cycle_cutover():
     u1 = iridl.forecast_url("ECMWF", 1, "Jun", 2023, (16, 29), (67, 98, 7, 38))
     u2 = iridl.forecast_url("ECMWF", 28, "Jun", 2023, (16, 29), (67, 98, 7, 38))
     assert "CY41-47" in u1 and "CY48" in u2    # dataloader.py:373-379
+    # the cutover is a date: any 2024+ fetch is CY48 even in spring
+    # (the reference compares month/day only — written for 2023)
+    u4 = iridl.forecast_url("ECMWF", 1, "May", 2024, (16, 29), (67, 98, 7, 38))
+    assert "CY48" in u4
+    # realtime ECMWF keeps differences+convert inline (dataloader.py:356)
+    assert "differences" in u2 and "unitconvert" in u2
     u3 = iridl.forecast_url("GEFS", 1, "Jul", 2023, (2, 8), (67, 98, 7, 38))
     assert "86400/mul" in u3                   # GEFS m/s -> mm/day scale
 
