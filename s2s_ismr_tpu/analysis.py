@@ -151,8 +151,15 @@ def region_rpss(outputs_root, shapefile_path, runs, lats, lons,
     rasterize the subdivision shapefile onto the data grid and build the
     per-region RPSS table."""
     from .viz.regions import region_masks as rasterize_regions
+    from .viz.regions import region_names_from_dbf
     masks = rasterize_regions(shapefile_path, lats, lons)
-    names = list(region_names) if region_names else \
-        [f"region{i}" for i in range(len(masks))]
+    if region_names:
+        names = list(region_names)
+    else:
+        # region labels from the .dbf attribute sidecar when one matches
+        # (Bar_plot.ipynb cell 12 reads them via geopandas)
+        dbf_names = region_names_from_dbf(shapefile_path)
+        names = (dbf_names if dbf_names and len(dbf_names) == len(masks)
+                 else [f"region{i}" for i in range(len(masks))])
     return rpss_records(runs, outputs_root, region_masks=masks,
                         region_names=names)

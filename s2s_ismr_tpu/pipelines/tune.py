@@ -313,8 +313,23 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
         fixed_winners=fixed_winners)
 
 
+def settings_fingerprint(cfg: PipelineConfig, source, seed,
+                         synthetic_step) -> dict:
+    """Everything outside the winner weights that changes predictions:
+    preprocessing flags + data provenance. Persisted into the winner
+    manifest at tune time and validated at load time, so a flag mismatch
+    (e.g. tune ran --standardize, load without) raises instead of silently
+    replaying different numbers."""
+    return {"standardize": bool(cfg.standardize),
+            "predictor": cfg.predictor,
+            "source": source, "seed": seed,
+            "synthetic_step": synthetic_step,
+            "n_bootstraps": cfg.n_bootstraps,
+            "week": cfg.week}
+
+
 def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
-                       log=print) -> NNResult:
+                       log=print, fingerprint=None) -> NNResult:
     """The reference's training_type="load" (training.py:127-131): rebuild
     each fold's persisted winner checkpoint and predict, skipping the
     tuning sweep entirely. Winners come from a prior tune run's
@@ -336,6 +351,16 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
                 f"first; training_type='load' replays persisted winners")
         with open(mpath) as fh:
             manifest = {e["fold"]: e for e in json.load(fh)}
+        if fingerprint is not None:
+            saved_fp = next(iter(manifest.values())).get("fingerprint")
+            if saved_fp is not None and saved_fp != fingerprint:
+                diffs = {k: (saved_fp.get(k), fingerprint.get(k))
+                         for k in set(saved_fp) | set(fingerprint)
+                         if saved_fp.get(k) != fingerprint.get(k)}
+                raise ValueError(
+                    f"winner manifest {mpath} was tuned under different "
+                    f"settings than this load run (tune vs load): {diffs} "
+                    f"— replay with matching flags or re-tune")
         missing = [f for f in range(fm.n_folds) if f not in manifest]
         if missing:
             raise ValueError(
@@ -473,15 +498,27 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     if training_type not in ("tune", "load"):
         raise ValueError(f"training_type must be 'tune' or 'load', "
                          f"got {training_type!r}")
+    fingerprint = settings_fingerprint(cfg, source, seed, synthetic_step)
+
+    def _save_elr(elr_res):
+        # persist ELR results as soon as they exist: the NN stage is the
+        # long one, and a failure there must not discard finished work
+        if save_outputs:
+            for tag, fld in [("train", elr_res.rpss_train),
+                             ("test", elr_res.rpss_test)]:
+                p = os.path.join(out_dir, f"ELR_rpss_{tag}_{cfg.week}.nc")
+                paths[f"elr_{tag}"] = write_netcdf(fld, p)
+
     if training_type == "load":
         # load mode never trains, so branch overlap buys nothing
         log("########### ELR ###########")
         with trace(profile_dir), timer.stage("elr"):
             elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
+        _save_elr(elr_res)
         log("########### Neural Network (load) ###########")
         with timer.stage("nn"):
             nn_res = run_nn_branch_load(cfg, bundles, out_root=out_root,
-                                        log=log)
+                                        log=log, fingerprint=fingerprint)
     elif overlap_branches and profile_dir is None:
         from concurrent.futures import ThreadPoolExecutor
         log("########### ELR + Neural Network (overlapped) ###########")
@@ -491,20 +528,17 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                                    timer, mesh)
                 with timer.stage("elr"):
                     elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
+                _save_elr(elr_res)      # NN may still fail; ELR is on disk
                 nn_res = nn_fut.result()
     else:
         log("########### ELR ###########")
         with trace(profile_dir), timer.stage("elr"):
             elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
+        _save_elr(elr_res)
         log("########### Neural Network ###########")
         with trace(profile_dir and os.path.join(profile_dir, "nn")), \
                 timer.stage("nn"):
             nn_res = run_nn_branch(cfg, bundles, log, timer=timer, mesh=mesh)
-    if save_outputs:
-        for tag, fld in [("train", elr_res.rpss_train),
-                         ("test", elr_res.rpss_test)]:
-            p = os.path.join(out_dir, f"ELR_rpss_{tag}_{cfg.week}.nc")
-            paths[f"elr_{tag}"] = write_netcdf(fld, p)
     arch = cfg.architecture
 
     # persist per-fold winner models (reference saves then DELETES its
@@ -522,7 +556,7 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
             if n in nn_res.sweeps:
                 paths[f"winners_{n}"] = checkpoint.save_sweep_winners(
                     nn_res.sweeps[n], mdir, cfg.week, architecture=arch,
-                    input_shape=(1, *shp, c_in))
+                    input_shape=(1, *shp, c_in), fingerprint=fingerprint)
             elif n in nn_res.fixed_winners:
                 var_list, vloss = nn_res.fixed_winners[n]
                 g = cfg.tuning
@@ -531,7 +565,8 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                     input_shape=(1, *shp, c_in),
                     hparams={"architecture": arch,
                              "lr": g.learning_rates[0],
-                             "batch_size": g.batch_sizes[0]})
+                             "batch_size": g.batch_sizes[0]},
+                    fingerprint=fingerprint)
     if save_outputs:
         for tag, fld in [("train", nn_res.rpss_train),
                          ("val", nn_res.rpss_val),
@@ -558,15 +593,19 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
         from ..viz import reliability, maps
         figdir = os.path.join(out_root, "figures", cfg.out_dir,
                               f"{'_'.join(cfg.models)}_{cfg.obs}")
+        # the reference overlays shapes/ borders on every RPSS map
+        # (plots.py:417-420,477-480); resolve the bundled/reference assets
+        shapes_dir = maps.default_shapes_dir(out_root)
         out.figures.update(maps.plot_rpss_panels(
             {"Train": elr_res.rpss_train, "Test": elr_res.rpss_test},
             first.lats, first.lons, figdir,
-            f"{cfg.week.replace('-', '')}_RPSS_ELR"))
+            f"{cfg.week.replace('-', '')}_RPSS_ELR", shapes_dir=shapes_dir))
         out.figures.update(maps.plot_rpss_panels(
             {"Train": nn_res.rpss_train, "Validation": nn_res.rpss_val,
              "Test": nn_res.rpss_test},
             first.lats, first.lons, figdir,
-            f"{cfg.week.replace('-', '')}_RPSS_{arch.upper()}", mask=mask))
+            f"{cfg.week.replace('-', '')}_RPSS_{arch.upper()}", mask=mask,
+            shapes_dir=shapes_dir))
         out.figures.update(reliability.compare_categories(
             nn_res, elr_res, mask, cfg, figdir))
 

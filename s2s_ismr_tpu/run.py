@@ -53,6 +53,14 @@ def main(argv=None):
     ap.add_argument("--from-config", dest="from_config",
                     default="tune_ECMWF_com",
                     help="tune config whose winners `realtime` evaluates")
+    ap.add_argument("--shapefile", default=None,
+                    help="barplot: region polygon shapefile for "
+                         "per-region RPSS boxplots (Bar_plot.ipynb "
+                         "cells 12-19)")
+    ap.add_argument("--regions", default=None,
+                    help="barplot: comma-separated region names matching "
+                         "--shapefile polygon order (default: .dbf "
+                         "attribute names, else region{i})")
     args = ap.parse_args(argv)
 
     from .pipelines import CONFIGS, get_config
@@ -87,7 +95,10 @@ def main(argv=None):
         return 0
     if args.config == "barplot":
         from .pipelines.notebooks import run_barplot
-        print(json.dumps(run_barplot(out_root=args.out), indent=1))
+        rnames = tuple(args.regions.split(",")) if args.regions else None
+        print(json.dumps(run_barplot(out_root=args.out,
+                                     shapefile=args.shapefile,
+                                     region_names=rnames), indent=1))
         return 0
     if args.config == "realtime":
         from .pipelines.realtime import run_realtime_eval

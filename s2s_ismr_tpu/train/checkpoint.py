@@ -36,9 +36,13 @@ def load_variables(path, template):
 
 
 def save_sweep_winners(sweep_result, out_dir, week, architecture="unet",
-                       input_shape=None):
+                       input_shape=None, fingerprint=None):
     """Persist each fold's winning model (mirrors the reference's
-    best_model_{arch}_{i}_tuned.keras naming, training.py:115)."""
+    best_model_{arch}_{i}_tuned.keras naming, training.py:115).
+
+    fingerprint: dict of run settings (standardize/predictor/source/seed/…)
+    recorded per entry; the 'load' replay validates it so a flag mismatch
+    fails loudly instead of silently producing different predictions."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = []
     for i, (variables, trial, cfg) in enumerate(zip(
@@ -53,6 +57,7 @@ def save_sweep_winners(sweep_result, out_dir, week, architecture="unet",
             "hparams": trial.hparams(),
             "val_loss": float(sweep_result.best_val_loss[i]),
             "input_shape": list(input_shape) if input_shape else None,
+            "fingerprint": dict(fingerprint) if fingerprint else None,
         })
     mpath = os.path.join(out_dir, f"winners_{week}.json")
     with open(mpath, "w") as f:
@@ -61,7 +66,8 @@ def save_sweep_winners(sweep_result, out_dir, week, architecture="unet",
 
 
 def save_fixed_winners(var_list, val_losses, out_dir, week,
-                       architecture, input_shape=None, hparams=None):
+                       architecture, input_shape=None, hparams=None,
+                       fingerprint=None):
     """Persist per-fold winners of a fixed (non-tuned) training run —
     the cnn/mlp architecture branch (training.py:53-64)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -76,6 +82,7 @@ def save_fixed_winners(var_list, val_losses, out_dir, week,
             "hparams": dict(hparams or {}),
             "val_loss": float(val_losses[i]),
             "input_shape": list(input_shape) if input_shape else None,
+            "fingerprint": dict(fingerprint) if fingerprint else None,
         })
     mpath = os.path.join(out_dir, f"winners_{week}.json")
     with open(mpath, "w") as f:
@@ -106,8 +113,11 @@ def load_winner(out_dir, week, fold, architecture="unet"):
         manifest = json.load(f)
     entry = next(e for e in manifest if e["fold"] == fold)
     model, shape = _build_model(entry, architecture)
-    template = model.init(jax.random.key(0),
-                          np.zeros(shape, np.float32), train=False)
+    template = dict(model.init(jax.random.key(0),
+                               np.zeros(shape, np.float32), train=False))
+    # saved winners always carry a batch_stats collection (train_fold's
+    # output tree, engine.py:200 — empty for BN-less models); init omits it
+    template.setdefault("batch_stats", {})
     variables = load_variables(os.path.join(out_dir, entry["file"]), template)
     return model, variables
 

@@ -280,6 +280,12 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             from functools import partial
             var_avals = jax.eval_shape(partial(model.init, train=False),
                                        jax.random.key(0), x[:1])
+            # train_fold's output tree always carries a 'batch_stats'
+            # collection (empty dict for BN-less models, engine.py:103,200);
+            # model.init omits it for bn=False, and an AOT-compiled call is
+            # strict about pytree structure — normalize to the train tree
+            var_avals = dict(var_avals)
+            var_avals.setdefault("batch_stats", {})
             stacked = jax.tree.map(
                 lambda s: jax.ShapeDtypeStruct((F,) + s.shape, s.dtype),
                 var_avals)
@@ -321,64 +327,71 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             _program_memo.put(mk, c)
         return c
 
-    pred_futs = {pk: pred_pool.submit(_compile_pred, pk)
-                 for pk in pred_candidates}
-    jax.tree.map(lambda a: a.block_until_ready(), dispatched[-1][1])
-    t_execute = _time.perf_counter() - t0
-    if mesh is not None:
-        dispatched = [_unflatten_lanes(out, F, len(j[1]))
-                      for out, j in zip(dispatched, jobs)]
-    t0 = _time.perf_counter()
+    try:
+        pred_futs = {pk: pred_pool.submit(_compile_pred, pk)
+                     for pk in pred_candidates}
+        jax.tree.map(lambda a: a.block_until_ready(), dispatched[-1][1])
+        t_execute = _time.perf_counter() - t0
+        if mesh is not None:
+            dispatched = [_unflatten_lanes(out, F, len(j[1]))
+                          for out, j in zip(dispatched, jobs)]
+        t0 = _time.perf_counter()
 
-    # Only val losses cross to the host here. Trained variables stay on
-    # device; predictions for non-winning trials are never computed at all
-    # (the old path ran + transferred every trial's full-T forward —
-    # ~1GB of useless host traffic for a 24-trial grid).
-    for bpos, ((key_, bucket, *_), (best_vars, vloss, n_ep)) in enumerate(
-            zip(jobs, dispatched)):
-        bs, kern, filt, blocks = key_
-        vloss = np.asarray(vloss)            # (F, R)
-        total_steps += int(np.asarray(n_ep).sum()) * (-(-x.shape[0] // bs))
-        if verbose:
-            print(f"bucket bs={bs} kern={kern} filt={filt} blocks={blocks}: "
-                  f"val_loss min={vloss.min():.4f}")
-        for r, t in enumerate(bucket):
-            val_table[:, t.index] = vloss[:, r]
-            vars_by_trial[t.index] = (bpos, r)
+        # Only val losses cross to the host here. Trained variables stay on
+        # device; predictions for non-winning trials are never computed at
+        # all (the old path ran + transferred every trial's full-T forward —
+        # ~1GB of useless host traffic for a 24-trial grid).
+        for bpos, ((key_, bucket, *_), (best_vars, vloss, n_ep)) in enumerate(
+                zip(jobs, dispatched)):
+            bs, kern, filt, blocks = key_
+            vloss = np.asarray(vloss)            # (F, R)
+            total_steps += (int(np.asarray(n_ep).sum())
+                            * (-(-x.shape[0] // bs)))
+            if verbose:
+                print(f"bucket bs={bs} kern={kern} filt={filt} "
+                      f"blocks={blocks}: val_loss min={vloss.min():.4f}")
+            for r, t in enumerate(bucket):
+                val_table[:, t.index] = vloss[:, r]
+                vars_by_trial[t.index] = (bpos, r)
 
-    # winner per fold: first strict minimum in product order (reference
-    # tie-break via `<`, training.py:108)
-    best_idx = np.argmin(val_table, axis=1)  # argmin returns first min
-    best_trials = [trials[i] for i in best_idx]
-    # collect winners GROUPED by (bucket, forward-program): one batched
-    # gather + one vmapped forward + one host transfer per group, instead
-    # of per-fold dispatch/transfer rounds (each host sync costs ~27ms
-    # through the TPU tunnel; leaf-wise transfers multiplied that by the
-    # ~30 tree leaves). The forward program depends only on the
-    # architecture shape, not batch_size — group accordingly.
-    groups: Dict[tuple, List[tuple]] = {}
-    for f in range(F):
-        ti = int(best_idx[f])
-        bpos, r = vars_by_trial[ti]
-        t_ = trials[ti]
-        pkey = ((t_.ct_kernel, t_.filters, t_.n_blocks)
-                if model_factory is None else jobs[bpos][0])
-        groups.setdefault((bpos, pkey), []).append((f, r, ti))
-    vars_by_fold: Dict[int, Any] = {}
-    preds_by_fold: Dict[int, np.ndarray] = {}
-    for (bpos, pkey), frs in groups.items():
-        G = len(frs)
-        # pad the gather to the program's static F lanes (repeat lane 0;
-        # throwaway forwards are cheap, the compile reuse is not)
-        fs = np.asarray([f for f, _, _ in frs] + [frs[0][0]] * (F - G))
-        rs = np.asarray([r for _, r, _ in frs] + [frs[0][1]] * (F - G))
-        vstack = jax.tree.map(lambda a: a[fs, rs], dispatched[bpos][0])
-        preds_g = np.asarray(pred_futs[pkey].result()(vstack, x))
-        host_vars = jax.device_get(vstack)
-        for i, (f, _, _) in enumerate(frs):
-            preds_by_fold[f] = preds_g[i]
-            vars_by_fold[f] = jax.tree.map(lambda a, i=i: a[i], host_vars)
-    pred_pool.shutdown()
+        # winner per fold: first strict minimum in product order (reference
+        # tie-break via `<`, training.py:108)
+        best_idx = np.argmin(val_table, axis=1)  # argmin returns first min
+        best_trials = [trials[i] for i in best_idx]
+        # collect winners GROUPED by (bucket, forward-program): one batched
+        # gather + one vmapped forward + one host transfer per group,
+        # instead of per-fold dispatch/transfer rounds (each host sync
+        # costs ~27ms through the TPU tunnel; leaf-wise transfers
+        # multiplied that by the ~30 tree leaves). The forward program
+        # depends only on the architecture shape, not batch_size — group
+        # accordingly.
+        groups: Dict[tuple, List[tuple]] = {}
+        for f in range(F):
+            ti = int(best_idx[f])
+            bpos, r = vars_by_trial[ti]
+            t_ = trials[ti]
+            pkey = ((t_.ct_kernel, t_.filters, t_.n_blocks)
+                    if model_factory is None else jobs[bpos][0])
+            groups.setdefault((bpos, pkey), []).append((f, r, ti))
+        vars_by_fold: Dict[int, Any] = {}
+        preds_by_fold: Dict[int, np.ndarray] = {}
+        for (bpos, pkey), frs in groups.items():
+            G = len(frs)
+            # pad the gather to the program's static F lanes (repeat lane
+            # 0; throwaway forwards are cheap, the compile reuse is not)
+            fs = np.asarray([f for f, _, _ in frs] + [frs[0][0]] * (F - G))
+            rs = np.asarray([r for _, r, _ in frs] + [frs[0][1]] * (F - G))
+            vstack = jax.tree.map(lambda a: a[fs, rs], dispatched[bpos][0])
+            preds_g = np.asarray(pred_futs[pkey].result()(vstack, x))
+            host_vars = jax.device_get(vstack)
+            for i, (f, _, _) in enumerate(frs):
+                preds_by_fold[f] = preds_g[i]
+                vars_by_fold[f] = jax.tree.map(lambda a, i=i: a[i],
+                                               host_vars)
+    finally:
+        # a failed execute/compile would otherwise leak the pool + any
+        # in-flight compile threads for the process lifetime
+        pred_pool.shutdown(wait=False, cancel_futures=True)
     winner_vars = [vars_by_fold[f] for f in range(F)]
     predictions = np.stack([preds_by_fold[f] for f in range(F)])
     winner_cfgs = [UNetConfig(filters=t.filters, n_blocks=t.n_blocks,

@@ -20,6 +20,24 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..field import Field  # noqa: E402
 
 
+# the reference repo's shapes/ assets, mounted read-only in this image
+# (plots.py:417-420 overlays indian_borders.shp + sd_boundary.shp on every
+# RPSS map). sd_boundary.shp is absent from the snapshot
+# (.MISSING_LARGE_BLOBS); whatever exists is drawn.
+REFERENCE_SHAPES = "/root/reference/shapes"
+
+
+def default_shapes_dir(out_root="."):
+    """Boundary-shapefile directory resolution: explicit env override,
+    a shapes/ dir next to the outputs (reference layout), then the
+    read-only reference assets."""
+    for cand in (os.environ.get("S2S_SHAPES_DIR"),
+                 os.path.join(out_root, "shapes"), REFERENCE_SHAPES):
+        if cand and os.path.isdir(cand):
+            return cand
+    return None
+
+
 def _boundary_segments(shapes_dir):
     if not shapes_dir:
         return []

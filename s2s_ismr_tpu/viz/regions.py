@@ -93,3 +93,64 @@ def region_masks(shapefile_path, lats, lons):
     shapes = [s for s in read_shapefile(shapefile_path)
               if s.shape_type == SHAPE_POLYGON]
     return rasterize(shapes, lats, lons)
+
+
+def read_dbf_records(path) -> List[dict]:
+    """Minimal dBASE III reader for shapefile .dbf sidecars — the region
+    attribute table geopandas reads in Bar_plot.ipynb cell 12 (names of
+    the met subdivisions). Character/numeric fields only; values returned
+    as stripped strings."""
+    with open(path, "rb") as f:
+        data = f.read()
+    n_records = struct.unpack("<i", data[4:8])[0]
+    header_len, record_len = struct.unpack("<hh", data[8:12])
+    fields = []
+    off = 32
+    while off < header_len - 1 and data[off] != 0x0D:
+        name = data[off:off + 11].split(b"\x00")[0].decode("ascii",
+                                                           "replace")
+        length = data[off + 16]
+        fields.append((name, length))
+        off += 32
+    out = []
+    off = header_len
+    for _ in range(n_records):
+        if off + record_len > len(data):
+            break
+        rec, pos = {}, off + 1            # first byte = deletion flag
+        deleted = data[off:off + 1] == b"*"
+        for name, length in fields:
+            raw = data[pos:pos + length]
+            rec[name] = raw.decode("latin-1", "replace").strip()
+            pos += length
+        if not deleted:
+            out.append(rec)
+        off += record_len
+    return out
+
+
+def region_names_from_dbf(shapefile_path, name_fields=("REGION", "NAME",
+                                                       "SUBDIV", "ST_NM")):
+    """Best-effort region labels from the .dbf next to a .shp (or from a
+    .dbf path directly). Returns None when no sidecar/name field exists —
+    callers fall back to region{i}."""
+    import os
+    base, _ = os.path.splitext(shapefile_path)
+    dbf = base + ".dbf"
+    if not os.path.exists(dbf):
+        return None
+    try:
+        records = read_dbf_records(dbf)
+    except Exception:
+        return None
+    if not records:
+        return None
+    keys = list(records[0])
+    field = next((f for f in name_fields if f in keys),
+                 next((k for k in keys if records[0][k] and
+                       not records[0][k].replace(".", "").replace(
+                           "-", "").isdigit()), None))
+    if field is None:
+        return None
+    return [r.get(field, "") or f"region{i}"
+            for i, r in enumerate(records)]
