@@ -31,7 +31,8 @@ from .ops import metrics
 class SkillMaps:
     cc: np.ndarray                # (Y, X)
     acc: np.ndarray               # (Y, X)
-    climatology: np.ndarray       # (Y, X) mean mm/day of the obs
+    climatology: np.ndarray       # (Y, X) obs time-mean (climo_obs maps)
+    climatology_fcst: np.ndarray  # (Y, X) fcst ens+time mean, obs-masked
     lats: np.ndarray
     lons: np.ndarray
 
@@ -41,13 +42,20 @@ def compute_skill_maps(bundle: DataBundle, external_clim=None) -> SkillMaps:
 
     external_clim: optional (53, Y, X) or (T, Y, X) model climatology
     (the GEFS dc0018 path); default anomalies use the sample weekly mean.
+    Also carries both climatology maps the notebook renders: the obs
+    time-mean (cell 10, climo_obs) and the forecast ensemble+time mean
+    masked to obs land pixels (cells 11/23/36, climo).
     """
     xm = bundle.ensemble_mean()
     cc = np.asarray(metrics.masked_corr(xm, bundle.y))
     acc = np.asarray(metrics.anomaly_cc(xm, bundle.y, bundle.weeks,
                                         x_clim=external_clim))
     clim = np.nanmean(bundle.y, axis=0)
+    # cells 11/23/36: x.mean('M').mean('T').where(~y_mask) — the forecast
+    # climatology masked wherever the obs climatology is NaN (ocean)
+    clim_fcst = np.where(np.isnan(clim), np.nan, np.nanmean(xm, axis=0))
     return SkillMaps(cc=cc, acc=acc, climatology=clim,
+                     climatology_fcst=clim_fcst,
                      lats=bundle.lats, lons=bundle.lons)
 
 

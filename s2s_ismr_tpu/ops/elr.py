@@ -107,6 +107,25 @@ def elr_fold(x_mean, targets, train_mask, test_mask, y_raw):
     w_train = (valid2 & jnp.concatenate([train_mask, train_mask])[:, None]
                ).astype(jnp.float32)
 
+    # per-pixel center/scale of the precip feature over the TRAIN rows.
+    # Newton scoring is affine-equivariant, so the fit is identical in
+    # exact arithmetic — but the float32 3x3 adjugate solve is not: a
+    # (near-)constant x column (dry pixels, regrid artifacts) is collinear
+    # with the intercept and the raw-basis determinant collapses, where
+    # statsmodels' pinv-based scoring stays stable (training.py:484-487).
+    # In the scaled basis that pixel cleanly decouples (x' = 0 -> b1 -> 0).
+    wsum = jnp.maximum(jnp.sum(w_train, 0), 1e-8)
+    x_nn = jnp.nan_to_num(x2, nan=0.0)
+    xm = jnp.sum(w_train * x_nn, 0) / wsum
+    xv = jnp.sum(w_train * (x_nn - xm) ** 2, 0) / wsum
+    # relative-degeneracy guard: a variance at float32 rounding scale must
+    # zero the column entirely (dividing by a tiny std would amplify the
+    # mean's rounding noise into a garbage feature), exactly the b1=0
+    # solution statsmodels' pinv picks for a collinear column
+    degenerate = xv < 1e-10 * (1.0 + xm * xm)
+    xsc = jnp.where(degenerate, 1.0, jnp.sqrt(jnp.maximum(xv, 1e-12)))
+    x2 = jnp.where(degenerate, 0.0, (x2 - xm) / xsc)
+
     # reference skip guards (training.py:435, 465, 477, 480): any raw-NaN,
     # any NaN predictor at used rows, or <= 2 usable rows (= <= 1 time)
     n_valid_train = jnp.sum(valid & train_mask[:, None], 0)

@@ -65,12 +65,16 @@ _EDGE_SCALE = 0.9999999999999  # reference's digitize edge-case guard (plots.py:
 
 
 def _bin_stats(y_pred, y_true, valid, num_bins=10):
-    """Shared 10-bin machinery with the reference's reliability_diagram
-    binning: bin i = [i/10, i/10 + 0.1) after scaling (plots.py:174-180)."""
-    p = jnp.asarray(y_pred, jnp.float32).ravel() * _EDGE_SCALE
+    """Shared 10-bin machinery with the reference's EXACT binning
+    convention (plots.py:36-39, 125-128): np.digitize(p, linspace(0,1,11),
+    right=True) - 1 clipped to [0, nbins-1] — i.e. left-exclusive bins
+    (i/n, (i+1)/n], with p <= 0 joining bin 0. ceil(p*n)-1 reproduces
+    digitize(right=True) on uniform edges."""
+    p = jnp.asarray(y_pred, jnp.float32).ravel()
     t = jnp.asarray(y_true, jnp.float32).ravel()
     v = jnp.asarray(valid, bool).ravel() & jnp.isfinite(p) & jnp.isfinite(t)
-    idx = jnp.clip((p * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    idx = jnp.clip(jnp.ceil(p * num_bins).astype(jnp.int32) - 1,
+                   0, num_bins - 1)
     w = v.astype(jnp.float32)
     counts = jnp.zeros(num_bins, jnp.float32).at[idx].add(w)
     sum_p = jnp.zeros(num_bins, jnp.float32).at[idx].add(jnp.where(v, p, 0.0))
@@ -80,11 +84,10 @@ def _bin_stats(y_pred, y_true, valid, num_bins=10):
 
 
 def reliability_score(y_pred, y_true, valid=None, num_bins=10):
-    """Count-weighted mean squared (avg-pred - obs-freq) (plots.py:13-58).
-    NOTE the reference's compute_reliability_score uses np.digitize with
-    right=True (half-open the other way); we keep one consistent binning —
-    the difference only moves exact bin-edge values and does not affect the
-    skill comparison."""
+    """Count-weighted mean squared (avg-pred - obs-freq), the reference's
+    compute_reliability_score (plots.py:13-58). Note the reference scales
+    y_pred by 0.9999999999999 in BSS/resolution but NOT here — binning and
+    averages both use the raw probabilities (plots.py:27-52)."""
     if valid is None:
         valid = jnp.ones_like(jnp.asarray(y_pred), bool)
     counts, avg_p, obs_f = _bin_stats(y_pred, y_true, valid, num_bins)
@@ -106,14 +109,15 @@ def brier_skill_score(y_pred, y_true, valid=None, base_rate=1.0 / 3.0):
 
 def resolution_score(y_pred, y_true, valid=None, num_bins=10):
     """Count-weighted (obs-freq - base-rate)^2; base rate is the observed
-    mean, as in the reference (plots.py:94-139)."""
-    p = jnp.asarray(y_pred, jnp.float32).ravel()
+    mean, and predictions are scaled by the reference's edge guard BEFORE
+    binning (plots.py:109-128 — unlike reliability, which bins raw)."""
+    p = jnp.asarray(y_pred, jnp.float32).ravel() * _EDGE_SCALE
     t = jnp.asarray(y_true, jnp.float32).ravel()
     if valid is None:
         valid = jnp.ones_like(p, bool)
     v = jnp.asarray(valid, bool).ravel() & jnp.isfinite(p) & jnp.isfinite(t)
     base = masked_mean(t, v)
-    counts, _avg_p, obs_f = _bin_stats(y_pred, y_true, v, num_bins)
+    counts, _avg_p, obs_f = _bin_stats(p, y_true, v, num_bins)
     total = jnp.maximum(counts.sum(), 1.0)
     return jnp.sum(counts * (obs_f - base) ** 2) / total
 

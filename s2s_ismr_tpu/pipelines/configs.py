@@ -42,6 +42,12 @@ class PipelineConfig:
     tuning: TuningGrid = field(default_factory=TuningGrid)
     architecture: str = "unet"           # 'unet' | 'cnn' | 'mlp'
     predictor: str = "mean"              # 'mean' | 'multi_predictor' | 'stacked'
+    # U-Net head (deep_nn_models.py:102-105): 'proba' trains softmax
+    # tercile probabilities on CE; 'deterministic' trains a ReLU precip
+    # head on NaN-masked MSE, and its predictions are scored by
+    # categorizing them with the fold's tercile edges (the reference
+    # leaves this head untrainable — its compile hardcodes CE)
+    output: str = "proba"                # 'proba' | 'deterministic'
     epochs: int = 100
     elr_frac_test: float = 0.3
     nn_frac_valid: float = 0.2

@@ -79,7 +79,8 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
         paths = {}
         for wk, sm in maps.items():
             coords = {"Y": sm.lats, "X": sm.lons}
-            fld = Field(np.stack([sm.cc, sm.acc, sm.climatology]),
+            fld = Field(np.stack([sm.cc, sm.acc, sm.climatology,
+                                  sm.climatology_fcst]),
                         ("metric", "Y", "X"), coords, "skill")
             paths[wk] = write_netcdf(
                 fld, os.path.join(out_dir, f"ccacc_{wk}.nc"))
@@ -98,6 +99,22 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
                                   coords, "acc")},
                     sm.lats, sm.lons, figdir, f"CCACC_{wk}",
                     vmin=-0.6, vmax=0.6).values()))
+                # mm/day climatology maps (ACCs.ipynb cells 10-11/23/36):
+                # obs time-mean, and the obs-masked forecast mean. ECMWF's
+                # forecast field is a window accumulation — cell 23 divides
+                # the wk3-4 map by 14 (hardcoded there); other windows
+                # scale by their day count
+                if model == "ECMWF":
+                    scale = (1.0 / 14.0 if wk == "wk3-4"
+                             else 1.0 / (leads[wk][1] - leads[wk][0] + 1))
+                else:
+                    scale = 1.0
+                paths[f"fig_climo_obs_{wk}"] = vmaps.plot_climatology(
+                    sm.climatology, sm.lats, sm.lons,
+                    os.path.join(figdir, f"climo_obs_{wk}.png"))
+                paths[f"fig_climo_{wk}"] = vmaps.plot_climatology(
+                    sm.climatology_fcst * scale, sm.lats, sm.lons,
+                    os.path.join(figdir, f"climo_{wk}.png"))
         out[model] = paths
     return out
 

@@ -134,6 +134,124 @@ def load_winner_for_realtime(models_dir, week, architecture="unet"):
                                   architecture)
 
 
+_MONTH_NAMES = {v: k for k, v in timeutils.MONTHS.items()}
+
+
+def fetch_realtime_set(cfg, dates, download=True, cache_dir="download",
+                       cookies="cookies.txt", log=print):
+    """Operational fetch (dataloader.py:338-495 flow): one dated forecast
+    per init date via download_forecast, plus the verifying obs series on
+    the model grid via get_obs, matched to the forecasts' mid-lead valid
+    times. Returns a DataBundle whose y is NaN where no verifying obs
+    exists yet (e.g. a true future forecast)."""
+    from ..data import gateway
+    from ..data.bundle import DataBundle
+
+    model, obs = cfg.models[0], cfg.obs
+    lead = cfg.lead(model)
+    xs, t_valid = [], []
+    for d in dates:
+        y_, m_, day_ = (int(v) for v in str(d).split("-"))
+        x = gateway.download_forecast(
+            model, obs, day_, _MONTH_NAMES[m_], y_,
+            domain=cfg.domain.as_tuple(), week=cfg.week, out_dir=cfg.out_dir,
+            download=download, regrid=cfg.regrid, custom_lead=lead,
+            cache_dir=cache_dir, cookies=cookies, log=log)
+        x = x.transpose("T", "M", "Y", "X")
+        xs.append(np.asarray(x.values, np.float32))
+        t_valid.append(timeutils.to_datetime64(x.coords["T"]))
+    t = np.concatenate(t_valid)
+    lats = np.asarray(x.coords["Y"])
+    lons = np.asarray(x.coords["X"])
+    x_all = np.concatenate(xs, axis=0)
+
+    years = (int(timeutils.year(t).min()), int(timeutils.year(t).max()))
+    yf = gateway.get_obs(model, obs, domain=cfg.domain.as_tuple(),
+                         week=cfg.week, years=years, season=cfg.season,
+                         out_dir=cfg.out_dir, download=download,
+                         regrid=cfg.regrid, cache_dir=cache_dir,
+                         cookies=cookies, log=log)
+    t_obs = timeutils.to_datetime64(yf.coords["T"])
+    y_all = np.full((len(t),) + x_all.shape[2:], np.nan, np.float32)
+    for i, tv in enumerate(t):
+        if len(t_obs) == 0:
+            continue
+        d = np.abs((t_obs - tv) / np.timedelta64(1, "D")).astype(float)
+        j = int(np.argmin(d))
+        if d[j] <= 3.5:                  # within the weekly obs grid step
+            y_all[i] = yf.values[j]
+    n_match = int(np.isfinite(y_all).any(axis=(1, 2)).sum())
+    log(f"[realtime] fetched {len(dates)} forecasts; verifying obs for "
+        f"{n_match}/{len(t)} valid times")
+    return DataBundle(x=x_all, y=y_all, t=t, lats=lats, lons=lons,
+                      name=f"{model}_{obs}_realtime")
+
+
+def run_realtime_forecast(cfg, dates, out_root=".", download=True,
+                          cache_dir="download", cookies="cookies.txt",
+                          rmm=None, nino34=None, hindcast_source="iridl",
+                          seed=0, synthetic_step=None, log=print):
+    """The full operational pipeline the reference's missing
+    Realtime_fcast_MME.ipynb performed (README.md:22): download dated
+    realtime forecasts + verifying obs (dataloader.py:338-495), predict
+    tercile probabilities with the persisted tuned winner, label/score
+    against hindcast-fitted tercile edges, attach GradCAM and MJO/ENSO
+    composites, and write netcdfs.
+
+    dates: iterable of 'YYYY-MM-DD' init dates.
+    hindcast_source: where the tercile-edge-fitting hindcast record comes
+    from ('iridl' cached fetch = the tuning data; 'synthetic' for tests).
+    """
+    import os
+    from ..field import Field
+    from ..io import write_netcdf
+    from .tune import _apply_pad, load_bundles
+
+    if cfg.predictor == "stacked":
+        raise ValueError("realtime forecasting does not support the "
+                         "stacked predictor mode")
+    model_name = cfg.models[0]
+    mdir = os.path.join(out_root, "models", cfg.out_dir,
+                        f"{model_name}_{cfg.obs}", cfg.week)
+    model, variables = load_winner_for_realtime(mdir, cfg.week,
+                                                cfg.architecture)
+
+    rt = fetch_realtime_set(cfg, dates, download=download,
+                            cache_dir=cache_dir, cookies=cookies, log=log)
+    rt = _apply_pad(cfg, rt)
+    hind = load_bundles(cfg, hindcast_source, seed=seed,
+                        synthetic_step=synthetic_step, download=download)
+    hb = _apply_pad(cfg, hind[model_name])
+
+    x_imgs = rt.fillna(0.0).predictor_images(cfg.predictor)
+    have_obs = np.isfinite(rt.y).any(axis=(1, 2))
+    res = evaluate_realtime(
+        model, variables, x_imgs, hb.y, hb.weeks, rt.weeks,
+        obs=rt.y if have_obs.any() else None, rmm=rmm, nino34=nino34)
+
+    out_dir = os.path.join(out_root, "outputs", "Realtime",
+                           f"{model_name}_{cfg.obs}")
+    coords = {"Y": rt.lats, "X": rt.lons}
+    tag = f"{dates[0]}_{dates[-1]}" if len(dates) > 1 else str(dates[0])
+    paths = {
+        "probs": write_netcdf(
+            Field(res.probs[..., 2], ("T", "Y", "X"), coords, "p_above"),
+            os.path.join(out_dir, f"fcst_probs_above_{tag}_{cfg.week}.nc")),
+        "gradcam": write_netcdf(
+            Field(res.gradcam_maps, ("T", "Y", "X"), coords, "gradcam"),
+            os.path.join(out_dir, f"fcst_gradcam_{tag}_{cfg.week}.nc")),
+    }
+    if res.rpss_map is not None:
+        paths["rpss"] = write_netcdf(
+            Field(res.rpss_map[None], ("bootstrap", "Y", "X"), coords,
+                  "rpss"),
+            os.path.join(out_dir, f"fcst_rpss_{tag}_{cfg.week}.nc"))
+    log(f"[realtime] operational {model_name} {cfg.week}: "
+        f"{len(dates)} init dates, verified {int(have_obs.sum())}; "
+        f"outputs: {sorted(paths)}")
+    return res, paths
+
+
 def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
                       synthetic_step=None, rmm=None, nino34=None,
                       log=print):

@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Dict, Optional
 
 import jax
@@ -219,12 +219,13 @@ def _nn_setup(cfg: PipelineConfig, bundles, log):
             f"val={sorted(fm.val_years[i])} test={sorted(fm.test_years[i])}")
 
     wm = timeutils.week_window_matrix(1)
-    lab_folds = jax.vmap(
+    lab_folds, edges_folds, present_folds = jax.vmap(
         lambda pm: terciles.fit_and_label(y_shared, first.weeks, pm, wm,
-                                          None)[0]
+                                          None)
     )(jnp.asarray(fm.train))
     y_oh = jnp.nan_to_num(terciles.one_hot_labels(lab_folds), nan=0.0)
-    return names, filled, first, fm, np.asarray(lab_folds), y_oh
+    return (names, filled, first, fm, np.asarray(lab_folds), y_oh,
+            (edges_folds, present_folds))
 
 
 def _nn_rpss(filled, names, preds, labels):
@@ -241,7 +242,12 @@ def _nn_rpss(filled, names, preds, labels):
 
 def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
                   timer=None, mesh=None) -> NNResult:
-    names, filled, first, fm, labels, y_oh = _nn_setup(cfg, bundles, log)
+    names, filled, first, fm, labels, y_oh, edges_pr = \
+        _nn_setup(cfg, bundles, log)
+    if cfg.output == "deterministic" and cfg.architecture != "unet":
+        raise ValueError(
+            "output='deterministic' is only available for the U-Net "
+            "(deep_nn_models.py:104-105); cnn/mlp have softmax heads")
 
     sweeps: Dict[str, SweepResult] = {}
     hparams_by_model: Dict[str, list] = {}
@@ -260,8 +266,26 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
                                  f"DataBundle.pad_to_grid") from None
         t0 = time.time()
         if cfg.architecture == "unet":
-            res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
-                                 epochs=cfg.epochs, mesh=mesh)
+            if cfg.output == "deterministic":
+                # deterministic head (deep_nn_models.py:104-105): regress
+                # raw precipitation per fold (targets are fold-independent
+                # but the sweep's lane axis is per-fold)
+                y_shared = np.mean(np.stack([filled[m].y for m in names]),
+                                   0) if cfg.is_mme else filled[n].y
+                y_tgt = jnp.broadcast_to(
+                    jnp.asarray(y_shared)[None, ..., None],
+                    (fm.n_folds,) + y_shared.shape + (1,))
+                res = run_unet_sweep(x, y_tgt, fm.train, fm.val, cfg.tuning,
+                                     epochs=cfg.epochs, mesh=mesh,
+                                     output="deterministic")
+                # score probabilistically: categorize each fold's precip
+                # predictions with that fold's tercile edges (one-hot
+                # "probabilities" flow through the unchanged RPSS/MME path)
+                res = replace(res, predictions=_deterministic_to_probs(
+                    res.predictions, filled[n].weeks, edges_pr))
+            else:
+                res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
+                                     epochs=cfg.epochs, mesh=mesh)
             log(f"[nn] model {n}: sweep of {res.val_loss_table.shape[1]} "
                 f"trials x {fm.n_folds} folds in {time.time() - t0:.1f}s "
                 f"{res.timings}; "
@@ -322,6 +346,7 @@ def settings_fingerprint(cfg: PipelineConfig, source, seed,
     replaying different numbers."""
     return {"standardize": bool(cfg.standardize),
             "predictor": cfg.predictor,
+            "output": cfg.output,
             "source": source, "seed": seed,
             "synthetic_step": synthetic_step,
             "n_bootstraps": cfg.n_bootstraps,
@@ -338,7 +363,8 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
     from ..train import checkpoint
     from ..train.sweep import winner_forward
 
-    names, filled, first, fm, labels, _ = _nn_setup(cfg, bundles, log)
+    names, filled, first, fm, labels, _, edges_pr = \
+        _nn_setup(cfg, bundles, log)
     per_model_preds = []
     hparams_by_model: Dict[str, list] = {}
     for n in names:
@@ -396,7 +422,11 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
         log(f"[nn] model {n}: loaded {F} winners "
             f"({len(groups)} architecture groups) from {mdir} "
             f"in {time.time() - t0:.1f}s")
-        per_model_preds.append(np.stack(preds_f))
+        preds_n = np.stack(preds_f)
+        if cfg.output == "deterministic":
+            preds_n = _deterministic_to_probs(preds_n, filled[n].weeks,
+                                              edges_pr)
+        per_model_preds.append(preds_n)
         hparams_by_model[n] = [manifest[f]["hparams"] for f in range(F)]
 
     if cfg.is_mme:
@@ -415,6 +445,20 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
             {n: hparams_by_model[n][f] for n in names}
             for f in range(fm.n_folds)],
         fixed_winners={})
+
+
+def _deterministic_to_probs(preds, weeks, edges_pr):
+    """Categorize deterministic precip predictions (F, T, H, W, 1) with
+    each fold's rolling tercile edges, yielding one-hot (F, T, H, W, 3)
+    'probabilities' so deterministic runs score through the exact same
+    RPSS/MME machinery as the proba head. (The reference's deterministic
+    head, deep_nn_models.py:104-105, dead-ends before any scoring.)"""
+    edges, present = edges_pr
+    w = jnp.asarray(weeks)
+    lab = jax.vmap(
+        lambda p, e, pr: terciles.label_terciles(p, w, e, pr)
+    )(jnp.asarray(preds)[..., 0], edges, present)
+    return np.asarray(terciles.one_hot_labels(lab))
 
 
 def _make_architecture(arch: str, x_shape):

@@ -39,6 +39,16 @@ def main(argv=None):
     ap.add_argument("--standardize", action="store_true",
                     help="per-pixel standardize x/y over T before splits "
                          "(bootstrap_splits standardize= option)")
+    ap.add_argument("--output", choices=("proba", "deterministic"),
+                    default="proba",
+                    help="U-Net head: softmax tercile probabilities or "
+                         "the deterministic ReLU precip head "
+                         "(deep_nn_models.py:102-105), scored via "
+                         "fold-edge categorization")
+    ap.add_argument("--predictor", choices=("mean", "multi_predictor",
+                                            "stacked"), default=None,
+                    help="override the config's predictor mode "
+                         "(preprocessing.py:25-35)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write jax.profiler traces + stage timings to DIR")
@@ -53,6 +63,15 @@ def main(argv=None):
     ap.add_argument("--from-config", dest="from_config",
                     default="tune_ECMWF_com",
                     help="tune config whose winners `realtime` evaluates")
+    ap.add_argument("--date", default=None,
+                    help="realtime: comma-separated YYYY-MM-DD init dates "
+                         "— fetches dated forecasts + verifying obs via "
+                         "the operational gateway (download_forecast/"
+                         "get_obs) and predicts with the tuned winner; "
+                         "without --date, realtime scores the held-out "
+                         "final hindcast year")
+    ap.add_argument("--no-download", dest="download", action="store_false",
+                    help="realtime/iridl: use cached files only")
     ap.add_argument("--shapefile", default=None,
                     help="barplot: region polygon shapefile for "
                          "per-region RPSS boxplots (Bar_plot.ipynb "
@@ -101,11 +120,18 @@ def main(argv=None):
                                      region_names=rnames), indent=1))
         return 0
     if args.config == "realtime":
-        from .pipelines.realtime import run_realtime_eval
         cfg = get_config(args.from_config)
-        _, paths = run_realtime_eval(cfg, out_root=args.out,
-                                     source=args.source, seed=args.seed,
-                                     synthetic_step=args.step)
+        if args.date:
+            from .pipelines.realtime import run_realtime_forecast
+            _, paths = run_realtime_forecast(
+                cfg, args.date.split(","), out_root=args.out,
+                download=args.download, hindcast_source=args.source,
+                seed=args.seed, synthetic_step=args.step)
+        else:
+            from .pipelines.realtime import run_realtime_eval
+            _, paths = run_realtime_eval(cfg, out_root=args.out,
+                                         source=args.source, seed=args.seed,
+                                         synthetic_step=args.step)
         print(json.dumps(paths, indent=1))
         return 0
 
@@ -120,6 +146,10 @@ def main(argv=None):
             cfg = replace(cfg, n_bootstraps=args.folds)
         if args.standardize:
             cfg = replace(cfg, standardize=True)
+        if args.output != "proba":
+            cfg = replace(cfg, output=args.output)
+        if args.predictor:
+            cfg = replace(cfg, predictor=args.predictor)
         return cfg
 
     def _run(cfg, **kw):
@@ -156,8 +186,9 @@ def main(argv=None):
         # under identical settings (a fast smoke must not satisfy a later
         # production resume)
         fingerprint = {k: getattr(args, k) for k in
-                       ("fast", "epochs", "folds", "standardize", "source",
-                        "seed", "step", "training_type")}
+                       ("fast", "epochs", "folds", "standardize", "output",
+                        "predictor", "source", "seed", "step",
+                        "training_type")}
         t0 = time.time()
         spath = os.path.join(args.out, "suite_summary.json")
         results = {}

@@ -33,7 +33,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .losses import categorical_crossentropy
+from .losses import categorical_crossentropy, masked_mse
+
+_LOSSES = {"categorical_crossentropy": categorical_crossentropy,
+           "mse": masked_mse}
 
 
 @dataclass(frozen=True)
@@ -57,6 +60,9 @@ class TrainSettings:
     # instead runs max epochs with the result frozen. Outputs are identical
     # by construction; under vmap the program exits at the LAST lane's stop
     # epoch. vloss history entries past the exit are NaN.
+    loss: str = "categorical_crossentropy"   # | 'mse' (deterministic head:
+    # the proba head trains on one-hot terciles, the deterministic head on
+    # raw precipitation with NaN-masked MSE)
 
 
 def _tree_where(pred, a, b):
@@ -105,12 +111,14 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
     tx = adam(settings)
     opt_state = tx.init(params)
 
+    loss_impl = _LOSSES[settings.loss]
+
     def loss_fn(p, stats, xb, yb, wb, dkey):
         out, mutated = model.apply(
             {"params": p, "batch_stats": stats}, xb, train=True,
             sample_weight=wb, mutable=["batch_stats"],
             rngs={"dropout": dkey})
-        return categorical_crossentropy(out, yb, wb), mutated["batch_stats"]
+        return loss_impl(out, yb, wb), mutated["batch_stats"]
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -146,7 +154,7 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
     def val_loss_fn(p, stats):
         out = model.apply({"params": p, "batch_stats": stats}, x_val,
                           train=False)
-        return categorical_crossentropy(out, y_val, w_val)
+        return loss_impl(out, y_val, w_val)
 
     def epoch_step(carry, ekey):
         params, stats, opt_state, best = carry

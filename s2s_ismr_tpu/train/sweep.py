@@ -195,11 +195,14 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                    apool: bool = True, bn: bool = True,
                    model_factory: Callable[[Trial], Any] | None = None,
                    verbose: bool = False,
-                   mesh=None, early_exit: bool = True) -> SweepResult:
+                   mesh=None, early_exit: bool = True,
+                   output: str = "proba") -> SweepResult:
     """Run the full tuning sweep.
 
     x:            (T, H, W, C) predictor images (jnp or np)
-    y_oh_folds:   (F, T, H, W, 3) per-fold one-hot labels
+    y_oh_folds:   (F, T, H, W, 3) per-fold one-hot labels — or, for
+                  output='deterministic', (F, T, H, W, 1) raw targets
+                  (NaN-masked MSE; deep_nn_models.py:104-105 head)
     train_masks:  (F, T) bool; val_masks: (F, T) bool
     mesh:         optional jax.sharding.Mesh — shards the folds x lrs
                   lane axis over the device mesh via shard_map (lanes are
@@ -232,16 +235,21 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         bs, kern, filt, blocks = key_
         if model_factory is None:
             cfg = UNetConfig(filters=filt, n_blocks=blocks, ct_kernel=kern,
-                             apool=apool, bn=bn)
+                             apool=apool, bn=bn, output=output)
             model = UNet(cfg)
         else:
             model = model_factory(bucket[0])
             cfg = getattr(model, "config", None)
+        # the deterministic head regresses raw precipitation (NaN-masked
+        # MSE); settings.loss feeds the program memo key via astuple, so
+        # proba/deterministic programs never alias
         settings = TrainSettings(epochs=epochs, batch_size=bs,
                                  patience=grid.patience,
                                  val_rows=int(np.asarray(val_masks)
                                               .sum(1).max()),
-                                 early_exit=early_exit)
+                                 early_exit=early_exit,
+                                 loss=("mse" if output == "deterministic"
+                                       else "categorical_crossentropy"))
         lrs = jnp.asarray([t.lr for t in bucket], jnp.float32)
 
         def lane(xv, y_oh, tmask, vmask, lr, key,
@@ -395,7 +403,8 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     winner_vars = [vars_by_fold[f] for f in range(F)]
     predictions = np.stack([preds_by_fold[f] for f in range(F)])
     winner_cfgs = [UNetConfig(filters=t.filters, n_blocks=t.n_blocks,
-                              ct_kernel=t.ct_kernel, apool=apool, bn=bn)
+                              ct_kernel=t.ct_kernel, apool=apool, bn=bn,
+                              output=output)
                    for t in best_trials]
     return SweepResult(
         best_val_loss=val_table[np.arange(F), best_idx],

@@ -88,6 +88,32 @@ def plot_rpss_panels(panels, lats, lons, outdir, fname, mask=None,
     return {fname: path}
 
 
+def plot_climatology(values, lats, lons, path, vmin=0.0, vmax=18.0,
+                     dpi=150):
+    """mm/day climatology map (ACCs.ipynb cells 10-11/23/36): light-gray
+    base blending into reversed rainbow, proportional colorbar with the
+    notebook's tick set, dashed grid."""
+    from matplotlib.colors import ListedColormap
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n_colors = 256
+    rainbow = plt.get_cmap("rainbow_r", n_colors)
+    gray_to_rainbow = np.vstack(
+        (np.ones((20, 4)) * 0.9, rainbow(np.linspace(0, 1, n_colors - 20))))
+    cmap = ListedColormap(gray_to_rainbow)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    pm = ax.pcolormesh(lons, lats, values, vmin=vmin, vmax=vmax, cmap=cmap,
+                       shading="nearest")
+    fig.colorbar(pm, ax=ax, label="mm/day", spacing="proportional",
+                 format="%.0f", ticks=[0, 1, 3, 5, 7, 9, 11, 15, 18])
+    ax.set_xlabel("Longitude", fontsize=11)
+    ax.set_ylabel("Latitude", fontsize=11)
+    ax.tick_params(labelsize=10)
+    ax.grid(True, linestyle="--", linewidth=0.5, alpha=0.7)
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_skill_map(values, lats, lons, path, title="", levels=None,
                    vmin=-0.6, vmax=0.6, cmap="RdBu_r", dpi=150):
     """Single CC/ACC-style map (ACCs.ipynb cells 13/25/38 look)."""

@@ -184,8 +184,13 @@ def test_accs_and_barplot_drivers(tmp_path):
     from s2s_ismr_tpu.pipelines import notebooks
     out = notebooks.run_accs(models=("ECMWF",), years=(2003, 2007),
                              out_root=str(tmp_path), step=4.0,
-                             log=lambda *a: None)
-    assert set(out["ECMWF"]) == {"wk1", "wk2", "wk3", "wk4", "wk3-4"}
+                             make_plots=True, log=lambda *a: None)
+    weeks = {"wk1", "wk2", "wk3", "wk4", "wk3-4"}
+    # per week: the ccacc netcdf + CC/ACC panel + the two mm/day
+    # climatology maps (ACCs.ipynb cells 10-11/23/36)
+    assert set(out["ECMWF"]) == (weeks | {f"fig_{w}" for w in weeks}
+                                 | {f"fig_climo_{w}" for w in weeks}
+                                 | {f"fig_climo_obs_{w}" for w in weeks})
     assert all(os.path.exists(p) for p in out["ECMWF"].values())
 
     # barplot needs saved rpss outputs; fabricate a minimal pair

@@ -33,21 +33,31 @@ def ref_bss(y_pred, t):
 
 
 def ref_reliability(y_true, y_pred, num_bins=10):
+    """Literal transcription of compute_reliability_score (plots.py:13-58):
+    digitize(right=True)-1 binning on RAW predictions, no edge scaling."""
     bp = np.zeros(num_bins); bt = np.zeros(num_bins); bc = np.zeros(num_bins)
-    scaled = y_pred * 0.9999999999999
+    edges = np.linspace(0, 1, num_bins + 1)
+    idx = np.clip(np.digitize(y_pred, edges, right=True) - 1,
+                  0, num_bins - 1)
     for i in range(num_bins):
-        m = (scaled >= i / 10) & (scaled < i / 10 + 0.1)
+        m = idx == i
         if m.sum() > 0:
-            bp[i] = scaled[m].mean(); bt[i] = y_true[m].mean(); bc[i] = m.sum()
+            bp[i] = y_pred[m].mean(); bt[i] = y_true[m].mean()
+            bc[i] = m.sum()
     return np.nansum((bp - bt) ** 2 * bc) / bc.sum()
 
 
 def ref_resolution(preds, obs, num_bins=10):
-    base = np.nanmean(obs)
+    """Literal transcription of compute_resolution_score (plots.py:94-139):
+    predictions scaled by the edge guard BEFORE digitize(right=True)."""
     scaled = preds * 0.9999999999999
+    base = np.nanmean(obs)
+    edges = np.linspace(0, 1, num_bins + 1)
+    idx = np.clip(np.digitize(scaled, edges, right=True) - 1,
+                  0, num_bins - 1)
     bf = np.zeros(num_bins); bc = np.zeros(num_bins)
     for i in range(num_bins):
-        m = (scaled >= i / 10) & (scaled < i / 10 + 0.1)
+        m = idx == i
         bc[i] = m.sum()
         if bc[i] > 0:
             bf[i] = obs[m].mean()
@@ -119,6 +129,20 @@ def test_bss_rel_res_match_reference(rng):
                                ref_reliability(t[valid], p[valid]), atol=1e-5)
     np.testing.assert_allclose(float(metrics.resolution_score(p[valid], t[valid])),
                                ref_resolution(p[valid], t[valid]), atol=1e-5)
+
+
+def test_binning_exact_edge_values(rng):
+    """Pin the digitize(right=True) convention (plots.py:36-39): values
+    exactly AT a bin edge belong to the LOWER bin ((i/10, (i+1)/10]), and
+    p=0 joins bin 0 — the spots where a floor-based binning diverges."""
+    edge_p = np.array([0.0, 0.1, 0.1, 0.2, 0.30000001, 0.5, 1.0] * 30)
+    t = (rng.random(edge_p.shape) < edge_p).astype(float)
+    np.testing.assert_allclose(
+        float(metrics.reliability_score(edge_p, t)),
+        ref_reliability(t, edge_p), atol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics.resolution_score(edge_p, t)),
+        ref_resolution(edge_p, t), atol=1e-6)
 
 
 def test_masked_corr_matches_numpy(rng):

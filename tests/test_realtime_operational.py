@@ -1,0 +1,152 @@
+"""Operational realtime pipeline test over a fake IRIDL transport:
+download_forecast + get_obs (cached files, no network) -> winner predict
+-> probs/GradCAM/RPSS netcdfs — the composed flow of the reference's
+missing Realtime_fcast_MME.ipynb (README.md:22, dataloader.py:338-495)."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.io import netcdf_file
+
+import jax
+
+from s2s_ismr_tpu.grid import Domain
+from s2s_ismr_tpu.models import UNet, UNetConfig
+from s2s_ismr_tpu.pipelines.configs import PipelineConfig
+from s2s_ismr_tpu.pipelines.realtime import (fetch_realtime_set,
+                                             run_realtime_forecast)
+from s2s_ismr_tpu.train import checkpoint
+from s2s_ismr_tpu.train.sweep import SweepResult, Trial, TuningGrid
+
+LATS = 7.0 + 2.0 * np.arange(16)
+LONS = 67.0 + 2.0 * np.arange(16)
+EPOCH = np.datetime64("1999-01-01")
+
+
+def _days(date_str):
+    return float((np.datetime64(date_str) - EPOCH) / np.timedelta64(1, "D"))
+
+
+def _write_nc(path, var, dims, coords, values):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with netcdf_file(path, "w") as f:
+        for d in dims:
+            f.createDimension(d, len(coords[d]))
+            v = f.createVariable(d, np.float64, (d,))
+            v[:] = coords[d]
+            if d in ("S", "T"):
+                v.units = "days since 1999-01-01"
+        dv = f.createVariable(var, np.float32, dims)
+        dv[:] = values.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def rt_setup(tmp_path_factory):
+    """Fake transport cache (2 dated forecasts + verifying obs) and a
+    persisted winner checkpoint matching the config's grid."""
+    root = tmp_path_factory.mktemp("rt")
+    cfg = PipelineConfig(name="rt_test", models=("GEFS",), obs="IMD",
+                         domain=Domain(67, 98, 7, 38), years=(2003, 2012),
+                         week="wk3-4", out_dir="Realtime Test/",
+                         tuning=TuningGrid(), n_bootstraps=2, epochs=2)
+
+    rng = np.random.default_rng(0)
+    fdir = os.path.join(str(root), "cache", cfg.out_dir, "GEFS_IMD")
+    # dated forecasts: single S each, 4 members (forecast_{d}_{Mon}_{y}.nc)
+    for date, mon_name, day in [("2023-06-15", "Jun", 15),
+                                ("2023-06-22", "Jun", 22)]:
+        _write_nc(os.path.join(fdir, f"forecast_{day}_{mon_name}_2023.nc"),
+                  "prcp", ("S", "M", "Y", "X"),
+                  {"S": np.array([_days(date)]),
+                   "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
+                  rng.gamma(2, 2, size=(1, 4, 16, 16)))
+    # verifying obs at the mid-lead valid times (wk3-4 -> S + 22 days)
+    # plus an unrelated extra time
+    t_obs = np.array([_days("2023-07-07"), _days("2023-07-14"),
+                      _days("2023-07-21")])
+    _write_nc(os.path.join(fdir, "IMD_wk3-4.nc"), "prcp", ("T", "Y", "X"),
+              {"T": t_obs, "Y": LATS, "X": LONS},
+              rng.gamma(2, 2, size=(3, 16, 16)))
+
+    # a persisted tuned winner (fresh init weights are fine: the pipeline
+    # contract under test is compose+predict+score, not skill)
+    ucfg = UNetConfig(filters=1, n_blocks=2)
+    model = UNet(ucfg)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 16, 16, 1), np.float32),
+                           train=False)
+    res = SweepResult(best_val_loss=np.array([0.9, 1.0]),
+                      best_trial=[Trial(0, 16, 1e-3, (3, 3), 1, 2)] * 2,
+                      predictions=np.zeros((2, 2, 16, 16, 3)),
+                      val_loss_table=np.array([[0.9], [1.0]]),
+                      winner_variables=[variables, variables],
+                      winner_configs=[ucfg, ucfg])
+    mdir = os.path.join(str(root), "models", cfg.out_dir, "GEFS_IMD",
+                        cfg.week)
+    checkpoint.save_sweep_winners(res, mdir, cfg.week,
+                                  input_shape=(1, 16, 16, 1))
+    return root, cfg
+
+
+def test_fetch_realtime_set_matches_obs(rt_setup):
+    root, cfg = rt_setup
+    b = fetch_realtime_set(cfg, ["2023-06-15", "2023-06-22"],
+                           download=False,
+                           cache_dir=os.path.join(str(root), "cache"),
+                           log=lambda *a: None)
+    assert b.x.shape == (2, 4, 16, 16)
+    assert b.y.shape == (2, 16, 16)
+    # both valid times found verifying obs
+    assert np.isfinite(b.y).all()
+    # valid times = init + 22 days (wk3-4 mid-lead)
+    assert str(b.t[0])[:10] == "2023-07-07"
+    assert str(b.t[1])[:10] == "2023-07-14"
+
+
+def test_fetch_realtime_future_unverified(rt_setup):
+    """A forecast whose valid time has no obs yet keeps NaN y (a true
+    operational future forecast is still predictable)."""
+    root, cfg = rt_setup
+    rng = np.random.default_rng(5)
+    fdir = os.path.join(str(root), "cache", cfg.out_dir, "GEFS_IMD")
+    _write_nc(os.path.join(fdir, "forecast_15_Aug_2023.nc"),
+              "prcp", ("S", "M", "Y", "X"),
+              {"S": np.array([_days("2023-08-15")]),
+               "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
+              rng.gamma(2, 2, size=(1, 4, 16, 16)))
+    b = fetch_realtime_set(cfg, ["2023-06-15", "2023-08-15"],
+                           download=False,
+                           cache_dir=os.path.join(str(root), "cache"),
+                           log=lambda *a: None)
+    assert np.isfinite(b.y[0]).all()
+    assert np.isnan(b.y[1]).all()        # valid 09-06: no obs within 3.5d
+
+
+@pytest.mark.slow
+def test_run_realtime_forecast_end_to_end(rt_setup):
+    root, cfg = rt_setup
+    res, paths = run_realtime_forecast(
+        cfg, ["2023-06-15", "2023-06-22"], out_root=str(root),
+        download=False, cache_dir=os.path.join(str(root), "cache"),
+        hindcast_source="synthetic", synthetic_step=2.0,
+        log=lambda *a: None)
+    assert res.probs.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(res.probs.sum(-1), 1.0, atol=1e-5)
+    assert res.gradcam_maps.shape == (2, 16, 16)
+    assert res.rpss_map is not None and res.rpss_map.shape == (16, 16)
+    for key in ("probs", "gradcam", "rpss"):
+        assert os.path.exists(paths[key]), key
+    # netcdf round-trip of the forecast probabilities
+    from s2s_ismr_tpu.data.gateway import open_netcdf_da
+    da = open_netcdf_da(paths["probs"], var_names=("p_above",))
+    np.testing.assert_allclose(da.values, res.probs[..., 2], atol=1e-6)
+
+
+def test_run_realtime_forecast_rejects_stacked(rt_setup):
+    root, cfg = rt_setup
+    from dataclasses import replace
+    with pytest.raises(ValueError, match="stacked"):
+        run_realtime_forecast(replace(cfg, predictor="stacked"),
+                              ["2023-06-15"], out_root=str(root),
+                              download=False, log=lambda *a: None)
