@@ -120,8 +120,14 @@ def elr_fold(x_mean, targets, train_mask, test_mask, y_raw):
     xv = jnp.sum(w_train * (x_nn - xm) ** 2, 0) / wsum
     # relative-degeneracy guard: a variance at float32 rounding scale must
     # zero the column entirely (dividing by a tiny std would amplify the
-    # mean's rounding noise into a garbage feature), exactly the b1=0
-    # solution statsmodels' pinv picks for a collinear column
+    # mean's rounding noise into a garbage feature). For an all-zero
+    # column this is exactly the b1=0 minimum-norm solution statsmodels'
+    # pinv picks; for a nonzero constant c the pinv instead splits the
+    # fitted constant between intercept and slope (b1 = c*b/(1+c^2) != 0),
+    # so test rows whose x deviates from c get varying probabilities from
+    # statsmodels but constant ones here — a deliberate, stable choice
+    # (the pinv split is a norm artifact, not signal; pinned in
+    # test_elr_edge_cases.py::test_train_constant_test_varying_pixel)
     degenerate = xv < 1e-10 * (1.0 + xm * xm)
     xsc = jnp.where(degenerate, 1.0, jnp.sqrt(jnp.maximum(xv, 1e-12)))
     x2 = jnp.where(degenerate, 0.0, (x2 - xm) / xsc)

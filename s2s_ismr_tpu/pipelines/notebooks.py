@@ -99,22 +99,19 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
                                   coords, "acc")},
                     sm.lats, sm.lons, figdir, f"CCACC_{wk}",
                     vmin=-0.6, vmax=0.6).values()))
-                # mm/day climatology maps (ACCs.ipynb cells 10-11/23/36):
-                # obs time-mean, and the obs-masked forecast mean. ECMWF's
-                # forecast field is a window accumulation — cell 23 divides
-                # the wk3-4 map by 14 (hardcoded there); other windows
-                # scale by their day count
-                if model == "ECMWF":
-                    scale = (1.0 / 14.0 if wk == "wk3-4"
-                             else 1.0 / (leads[wk][1] - leads[wk][0] + 1))
-                else:
-                    scale = 1.0
-                paths[f"fig_climo_obs_{wk}"] = vmaps.plot_climatology(
-                    sm.climatology, sm.lats, sm.lons,
-                    os.path.join(figdir, f"climo_obs_{wk}.png"))
-                paths[f"fig_climo_{wk}"] = vmaps.plot_climatology(
-                    sm.climatology_fcst * scale, sm.lats, sm.lons,
-                    os.path.join(figdir, f"climo_{wk}.png"))
+                # mm/day climatology maps — the notebook renders these
+                # ONLY for the weeks3-4 window (cells 10-11/23/36 all
+                # plot x_week34/y_week34); ECMWF's forecast field is a
+                # 14-day accumulation there, divided by 14 (cell 23 —
+                # IITM/GEFS cells 11/36 have no division)
+                if wk == "wk3-4":
+                    scale = 1.0 / 14.0 if model == "ECMWF" else 1.0
+                    paths[f"fig_climo_obs_{wk}"] = vmaps.plot_climatology(
+                        sm.climatology, sm.lats, sm.lons,
+                        os.path.join(figdir, f"climo_obs_{wk}.png"))
+                    paths[f"fig_climo_{wk}"] = vmaps.plot_climatology(
+                        sm.climatology_fcst * scale, sm.lats, sm.lons,
+                        os.path.join(figdir, f"climo_{wk}.png"))
         out[model] = paths
     return out
 

@@ -74,6 +74,7 @@ class RealtimeResult:
 
 def evaluate_realtime(model, variables, x_images, hindcast_obs,
                       hindcast_weeks, fcst_weeks, obs=None,
+                      obs_t_mask=None,
                       rmm=None, nino34=None, gradcam_category=2,
                       window=1):
     """Evaluate realtime forecasts against the hindcast climatology.
@@ -84,6 +85,11 @@ def evaluate_realtime(model, variables, x_images, hindcast_obs,
                   (labels realtime obs exactly like training labels)
     hindcast_weeks/fcst_weeks: ISO weeks of both axes
     obs:          optional (T, H, W) verifying observations
+    obs_t_mask:   optional (T,) bool — which forecast rows actually have
+                  verifying obs. Without it, an all-NaN obs row would be
+                  labeled category 1 wherever the hindcast edges are
+                  finite (NaN fails both `< q0` and `> q1` comparisons),
+                  silently scoring unverified dates as "observed normal"
     rmm:          optional (T, 2) RMM1/RMM2 MJO index at init time
     nino34:       optional (T,) Nino3.4 anomaly at init time
     """
@@ -96,11 +102,14 @@ def evaluate_realtime(model, variables, x_images, hindcast_obs,
         pool = np.ones(hindcast_obs.shape[0], bool)
         edges, present = terciles.rolling_edges(hindcast_obs, hindcast_weeks,
                                                 pool, wm)
-        labels = np.asarray(terciles.label_terciles(
-            jnp.asarray(obs), fcst_weeks, edges, present))
-        rps_map = np.asarray(metrics.rps(probs, labels))
+        labels = np.array(terciles.label_terciles(
+            jnp.asarray(obs), fcst_weeks, edges, present))  # copy: writable
+        if obs_t_mask is not None:
+            labels[~np.asarray(obs_t_mask, bool)] = np.nan
+        rps_map = np.asarray(metrics.rps(probs, labels, obs_t_mask))
         climo = np.full_like(probs, 1.0 / 3.0)
-        rpss_map = np.asarray(metrics.rpss(climo, probs, labels))
+        rpss_map = np.asarray(metrics.rpss(climo, probs, labels,
+                                           obs_t_mask))
 
     try:
         cams = np.asarray(attrib.gradcam(model, variables, x,
@@ -187,6 +196,31 @@ def fetch_realtime_set(cfg, dates, download=True, cache_dir="download",
                       name=f"{model}_{obs}_realtime")
 
 
+def _validate_winner_fingerprint(models_dir, cfg):
+    """Fail loudly if the persisted winners were tuned under a different
+    input/output contract than the realtime cfg (mirrors the 'load'
+    replay's validation, tune.py run_nn_branch_load): a predictor or
+    head mismatch would otherwise surface as a shape error — or worse,
+    silently wrong probabilities — only after the downloads complete."""
+    import json
+    import os
+    path = os.path.join(models_dir, f"winners_{cfg.week}.json")
+    if not os.path.exists(path):
+        return                       # load_winner_for_realtime will raise
+    with open(path) as f:
+        manifest = json.load(f)
+    fp = (manifest[0] or {}).get("fingerprint") if manifest else None
+    if not fp:
+        return                       # pre-fingerprint checkpoint
+    for key, want in (("predictor", cfg.predictor), ("output", cfg.output)):
+        got = fp.get(key, "proba" if key == "output" else None)
+        if got is not None and got != want:
+            raise ValueError(
+                f"winners at {path} were tuned with {key}={got!r} but the "
+                f"realtime run requests {key}={want!r}; pass the matching "
+                f"--{key} flag (or retune)")
+
+
 def run_realtime_forecast(cfg, dates, out_root=".", download=True,
                           cache_dir="download", cookies="cookies.txt",
                           rmm=None, nino34=None, hindcast_source="iridl",
@@ -210,24 +244,32 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
     if cfg.predictor == "stacked":
         raise ValueError("realtime forecasting does not support the "
                          "stacked predictor mode")
+    if cfg.output == "deterministic":
+        raise ValueError("realtime forecasting needs tercile probabilities"
+                         " — winners tuned with output='deterministic' "
+                         "emit raw precipitation")
     model_name = cfg.models[0]
     mdir = os.path.join(out_root, "models", cfg.out_dir,
                         f"{model_name}_{cfg.obs}", cfg.week)
+    _validate_winner_fingerprint(mdir, cfg)
     model, variables = load_winner_for_realtime(mdir, cfg.week,
                                                 cfg.architecture)
 
     rt = fetch_realtime_set(cfg, dates, download=download,
                             cache_dir=cache_dir, cookies=cookies, log=log)
+    # which forecast rows have verifying obs — computed BEFORE padding
+    # (the ECMWF-full pad zero-fills y, which would count as "observed")
+    have_obs = np.isfinite(rt.y).any(axis=(1, 2))
     rt = _apply_pad(cfg, rt)
     hind = load_bundles(cfg, hindcast_source, seed=seed,
                         synthetic_step=synthetic_step, download=download)
     hb = _apply_pad(cfg, hind[model_name])
 
     x_imgs = rt.fillna(0.0).predictor_images(cfg.predictor)
-    have_obs = np.isfinite(rt.y).any(axis=(1, 2))
     res = evaluate_realtime(
         model, variables, x_imgs, hb.y, hb.weeks, rt.weeks,
-        obs=rt.y if have_obs.any() else None, rmm=rmm, nino34=nino34)
+        obs=rt.y if have_obs.any() else None, obs_t_mask=have_obs,
+        rmm=rmm, nino34=nino34)
 
     out_dir = os.path.join(out_root, "outputs", "Realtime",
                            f"{model_name}_{cfg.obs}")
@@ -275,12 +317,17 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
     model_name = cfg.models[0]
     mdir = os.path.join(out_root, "models", cfg.out_dir,
                         f"{model_name}_{cfg.obs}", cfg.week)
+    _validate_winner_fingerprint(mdir, cfg)
     model, variables = load_winner_for_realtime(mdir, cfg.week,
                                                 cfg.architecture)
 
     if cfg.predictor == "stacked":
         raise ValueError("realtime eval does not support the stacked "
                          "predictor mode (members are batch rows there)")
+    if cfg.output == "deterministic":
+        raise ValueError("realtime eval needs tercile probabilities — "
+                         "winners tuned with output='deterministic' emit "
+                         "raw precipitation")
     bundles = load_bundles(cfg, source, seed=seed,
                            synthetic_step=synthetic_step)
     b = bundles[model_name].fillna(0.0)

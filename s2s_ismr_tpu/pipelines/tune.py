@@ -248,6 +248,23 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
         raise ValueError(
             "output='deterministic' is only available for the U-Net "
             "(deep_nn_models.py:104-105); cnn/mlp have softmax heads")
+    if cfg.output == "deterministic" and cfg.predictor == "stacked":
+        raise ValueError(
+            "output='deterministic' does not compose with "
+            "predictor='stacked': stacking tiles the batch axis by member "
+            "count while the regression target keeps the raw T axis")
+    if cfg.output == "deterministic":
+        # deterministic head (deep_nn_models.py:104-105): regress RAW
+        # precipitation — from the un-filled bundles, so ocean stays NaN
+        # and masked_mse excludes it (fillna(0.0) targets would train the
+        # model to predict ocean zeros and dilute the winner-selection
+        # val loss with them). Targets are fold-independent; the sweep's
+        # lane axis is per-fold, hence the broadcast.
+        y_raw = (np.nanmean(np.stack([bundles[m].y for m in names]), 0)
+                 if cfg.is_mme else bundles[names[0]].y)
+        y_det_tgt = jnp.broadcast_to(
+            jnp.asarray(y_raw)[None, ..., None],
+            (fm.n_folds,) + y_raw.shape + (1,))
 
     sweeps: Dict[str, SweepResult] = {}
     hparams_by_model: Dict[str, list] = {}
@@ -267,17 +284,9 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
         t0 = time.time()
         if cfg.architecture == "unet":
             if cfg.output == "deterministic":
-                # deterministic head (deep_nn_models.py:104-105): regress
-                # raw precipitation per fold (targets are fold-independent
-                # but the sweep's lane axis is per-fold)
-                y_shared = np.mean(np.stack([filled[m].y for m in names]),
-                                   0) if cfg.is_mme else filled[n].y
-                y_tgt = jnp.broadcast_to(
-                    jnp.asarray(y_shared)[None, ..., None],
-                    (fm.n_folds,) + y_shared.shape + (1,))
-                res = run_unet_sweep(x, y_tgt, fm.train, fm.val, cfg.tuning,
-                                     epochs=cfg.epochs, mesh=mesh,
-                                     output="deterministic")
+                res = run_unet_sweep(x, y_det_tgt, fm.train, fm.val,
+                                     cfg.tuning, epochs=cfg.epochs,
+                                     mesh=mesh, output="deterministic")
                 # score probabilistically: categorize each fold's precip
                 # predictions with that fold's tercile edges (one-hot
                 # "probabilities" flow through the unchanged RPSS/MME path)
@@ -445,6 +454,45 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
             {n: hparams_by_model[n][f] for n in names}
             for f in range(fm.n_folds)],
         fixed_winners={})
+
+
+def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
+                         synthetic_step=None, log=print):
+    """Compile (never execute) a config's NN bucket programs into the
+    sweep's process memo, so a `run suite` session can overlap config
+    N+1's remote compilation (20-500 s/program on this backend) with
+    config N's on-device execution. Only the SHAPES of the inputs reach
+    the compiled program, so dummy labels suffice; everything static —
+    tuning grid, TrainSettings (incl. the mask-derived val_rows), pad,
+    predictor/output mode — is reproduced exactly as run_nn_branch would.
+    Safe to skip on failure: the real run compiles whatever is missing."""
+    if cfg.architecture != "unet":
+        return 0                 # cnn/mlp programs are cheap single trials
+    bundles = load_bundles(cfg, source, seed=seed,
+                           synthetic_step=synthetic_step)
+    bundles = {n: _apply_pad(cfg, b) for n, b in bundles.items()}
+    names = list(bundles)
+    filled = {n: b.fillna(0.0) for n, b in bundles.items()}
+    if cfg.predictor == "stacked":
+        if cfg.is_mme:
+            return 0                               # rejected by the run
+        filled = {n: b.stacked() for n, b in filled.items()}
+    first = filled[names[0]]
+    fm = splits.bootstrap_masks(first.years, cfg.n_bootstraps,
+                                frac_valid=cfg.nn_frac_valid,
+                                frac_test=cfg.nn_frac_test)
+    # all of a config's models share one grid/T (MME asserts alignment),
+    # so one model's shapes compile the programs for every sweep
+    x = jnp.asarray(first.predictor_images(cfg.predictor))
+    n_out = 1 if cfg.output == "deterministic" else 3
+    y_dummy = jnp.zeros((fm.n_folds,) + first.y.shape + (n_out,),
+                        jnp.float32)
+    t0 = time.time()
+    run_unet_sweep(x, y_dummy, fm.train, fm.val, cfg.tuning,
+                   epochs=cfg.epochs, output=cfg.output, compile_only=True)
+    log(f"[prefetch] {cfg.name}: bucket programs compiled in "
+        f"{time.time() - t0:.1f}s")
+    return 1
 
 
 def _deterministic_to_probs(preds, weeks, edges_pr):

@@ -19,8 +19,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="s2s_ismr_tpu.run", description=__doc__)
     ap.add_argument("config", nargs="?", help="pipeline name (e.g. tune_ECMWF_com)")
     ap.add_argument("--list", action="store_true", help="list configs")
-    ap.add_argument("--source", default="synthetic",
-                    choices=["synthetic", "iridl"])
+    ap.add_argument("--source", default=None,
+                    choices=["synthetic", "iridl"],
+                    help="data source (default: synthetic — except the "
+                         "operational `realtime --date`, whose tercile "
+                         "edges must come from the real hindcast record, "
+                         "so it defaults to iridl)")
     ap.add_argument("--synthetic", dest="source", action="store_const",
                     const="synthetic")
     ap.add_argument("--fast", action="store_true",
@@ -81,6 +85,12 @@ def main(argv=None):
                          "--shapefile polygon order (default: .dbf "
                          "attribute names, else region{i})")
     args = ap.parse_args(argv)
+    if args.source is None:
+        # operational realtime fits tercile edges on the hindcast record;
+        # a synthetic default there would silently score real forecasts
+        # against random-data edges
+        args.source = ("iridl" if args.config == "realtime" and args.date
+                       else "synthetic")
 
     from .pipelines import CONFIGS, get_config
     if args.list or not args.config:
@@ -121,6 +131,13 @@ def main(argv=None):
         return 0
     if args.config == "realtime":
         cfg = get_config(args.from_config)
+        from dataclasses import replace
+        # mirror the tune-path overrides so the cfg matches the winners
+        # being loaded (the manifest fingerprint is validated downstream)
+        if args.output != "proba":
+            cfg = replace(cfg, output=args.output)
+        if args.predictor:
+            cfg = replace(cfg, predictor=args.predictor)
         if args.date:
             from .pipelines.realtime import run_realtime_forecast
             _, paths = run_realtime_forecast(
@@ -222,22 +239,55 @@ def main(argv=None):
             os.replace(tmp, spath)    # atomic: a kill can't truncate it
             return summary
 
-        for cfg in cfgs:
-            if cfg.name in results:
-                continue
-            kw = {}
-            if args.profile:
-                kw["profile_dir"] = os.path.join(args.profile, cfg.name)
+        # Compile-ahead pipeline: while config N trains on-device (host
+        # idle waiting on the chip), a single background thread traces +
+        # remote-compiles config N+1's bucket programs into the sweep's
+        # process memo — the 20-500 s/program compiles leave the session's
+        # critical path. The future is awaited before N+1 runs so the
+        # memo race (run and prefetch compiling the same program twice)
+        # cannot happen.
+        from concurrent.futures import ThreadPoolExecutor
+        from .pipelines.tune import prefetch_nn_programs
+
+        def _prefetch(cfg):
             try:
-                _, results[cfg.name] = _run(cfg, **kw)
-            except Exception as e:
-                # one config must not kill the session (e.g. a transient
-                # remote-compile drop); record it — --resume retries
-                results[cfg.name] = {
-                    "config": cfg.name,
-                    "error": f"{type(e).__name__}: {e}"}
-                print(f"[suite] {cfg.name} FAILED: {e}", file=sys.stderr)
-            _dump(partial=True)       # survive a kill mid-suite
+                prefetch_nn_programs(cfg, source=args.source,
+                                     seed=args.seed,
+                                     synthetic_step=args.step,
+                                     log=lambda m: print(m,
+                                                         file=sys.stderr))
+            except Exception as e:      # never fail the suite from here:
+                # the real run compiles whatever the memo is missing
+                print(f"[suite] prefetch {cfg.name} skipped: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+
+        pending = [c for c in cfgs if c.name not in results]
+        futs = {}
+        with ThreadPoolExecutor(max_workers=1) as prefetch_pool:
+            for i, cfg in enumerate(pending):
+                if i + 1 < len(pending) and args.training_type == "tune":
+                    futs[pending[i + 1].name] = prefetch_pool.submit(
+                        _prefetch, pending[i + 1])
+                kw = {}
+                if args.profile:
+                    kw["profile_dir"] = os.path.join(args.profile, cfg.name)
+                try:
+                    _, results[cfg.name] = _run(cfg, **kw)
+                except Exception as e:
+                    # one config must not kill the session (e.g. a
+                    # transient remote-compile drop); record it —
+                    # --resume retries
+                    results[cfg.name] = {
+                        "config": cfg.name,
+                        "error": f"{type(e).__name__}: {e}"}
+                    print(f"[suite] {cfg.name} FAILED: {e}",
+                          file=sys.stderr)
+                _dump(partial=True)   # survive a kill mid-suite
+                nxt = futs.pop(pending[i + 1].name, None) \
+                    if i + 1 < len(pending) else None
+                if nxt is not None:
+                    nxt.result()      # block: avoid the duplicate-compile
+                    #                   race with the next run
         summary = _dump(partial=False)
         print(json.dumps(summary, indent=1))
         return 1 if any("error" in r for r in results.values()) else 0

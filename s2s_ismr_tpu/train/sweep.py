@@ -128,6 +128,16 @@ class _ProgramMemo:
 
 _program_memo = _ProgramMemo()
 
+# Foreground-compile gate: the remote compile server serializes requests,
+# so a background prefetch (run_unet_sweep(compile_only=True) from the
+# suite runner's thread) must yield to a real sweep's critical-path
+# compile phase — otherwise the device idles at session start while the
+# server interleaves next-config programs. Set = no foreground compile in
+# flight. Best-effort (a race only costs one interleaved compile).
+import threading as _threading
+_fg_compile_idle = _threading.Event()
+_fg_compile_idle.set()
+
 
 def _avals_key(tree) -> tuple:
     return tuple((tuple(np.shape(l)), str(getattr(l, "dtype", type(l))))
@@ -196,7 +206,8 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                    model_factory: Callable[[Trial], Any] | None = None,
                    verbose: bool = False,
                    mesh=None, early_exit: bool = True,
-                   output: str = "proba") -> SweepResult:
+                   output: str = "proba",
+                   compile_only: bool = False) -> SweepResult:
     """Run the full tuning sweep.
 
     x:            (T, H, W, C) predictor images (jnp or np)
@@ -209,6 +220,15 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                   independent SGD chains: zero hot-loop collectives,
                   linear scaling; parallel/mesh.py). Lane count is padded
                   to a device multiple with throwaway replica lanes.
+    compile_only: trace + compile every bucket program into the process
+                  memo and return None WITHOUT executing — the suite
+                  runner calls this for config N+1 in a background thread
+                  while config N trains on-device, moving the 20-500 s/
+                  program remote compiles off the session's critical path
+                  (compilation is compile-server work; execution leaves
+                  the host idle waiting on the device). Going through
+                  this same code path — not a parallel reimplementation —
+                  is what guarantees the memo keys match the real run's.
     """
     x = jnp.asarray(x)
     y_oh_folds = jnp.asarray(y_oh_folds)
@@ -306,14 +326,27 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         key_, bucket, prog, args, memo_key, hit = j
         if hit:
             return prog                 # memo hit: already a compiled exe
+        if compile_only:
+            # background prefetch: yield to any foreground sweep's
+            # critical-path compile phase (server serializes requests)
+            _fg_compile_idle.wait()
         c = _compile_with_retry(prog)
         _program_memo.put(memo_key, c)
         return c
 
-    with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as ex:
-        compiled = list(ex.map(_compile_job, jobs))
+    if not compile_only:
+        _fg_compile_idle.clear()
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as ex:
+            compiled = list(ex.map(_compile_job, jobs))
+    finally:
+        if not compile_only:
+            _fg_compile_idle.set()
     t_compile = _time.perf_counter() - t0
     n_cached = sum(1 for j in jobs if j[5])
+
+    if compile_only:
+        return None
 
     t0 = _time.perf_counter()
     dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async

@@ -186,11 +186,12 @@ def test_accs_and_barplot_drivers(tmp_path):
                              out_root=str(tmp_path), step=4.0,
                              make_plots=True, log=lambda *a: None)
     weeks = {"wk1", "wk2", "wk3", "wk4", "wk3-4"}
-    # per week: the ccacc netcdf + CC/ACC panel + the two mm/day
-    # climatology maps (ACCs.ipynb cells 10-11/23/36)
+    # per week: the ccacc netcdf + CC/ACC panel; the two mm/day
+    # climatology maps render for wk3-4 only (ACCs.ipynb cells
+    # 10-11/23/36 all plot the week34 dataset)
     assert set(out["ECMWF"]) == (weeks | {f"fig_{w}" for w in weeks}
-                                 | {f"fig_climo_{w}" for w in weeks}
-                                 | {f"fig_climo_obs_{w}" for w in weeks})
+                                 | {"fig_climo_wk3-4",
+                                    "fig_climo_obs_wk3-4"})
     assert all(os.path.exists(p) for p in out["ECMWF"].values())
 
     # barplot needs saved rpss outputs; fabricate a minimal pair

@@ -145,6 +145,33 @@ def test_constant_predictor_pixel(rng):
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_train_constant_test_varying_pixel(rng):
+    """x constant over the TRAIN rows but varying on test rows: the
+    degeneracy guard zeroes the (train-collinear) precip column, so every
+    test row gets the same intercept+quantile probabilities. statsmodels'
+    pinv would instead split the fitted constant between intercept and
+    slope (b1 = c*b/(1+c^2)), making test probabilities vary with x — a
+    minimum-norm artifact, not signal. This test pins OUR deterministic
+    choice (documented divergence, ops/elr.py degeneracy guard)."""
+    T = 50
+    x = np.full(T, 3.7)
+    tm = np.ones(T, bool); tm[-10:] = False
+    x[~tm] = rng.gamma(2, 2, (~tm).sum())    # test rows vary
+    lab = rng.integers(0, 3, T)
+    y33 = (lab == 0).astype(float)
+    y66 = (lab <= 1).astype(float)
+    got = _run_ours(x, y33, y66, tm)
+    # all test rows share one probability triple (finite, normalized)
+    test_probs = got[~tm]
+    np.testing.assert_allclose(
+        test_probs, np.broadcast_to(test_probs[:1], test_probs.shape),
+        atol=1e-6)
+    np.testing.assert_allclose(test_probs.sum(-1), 1.0, atol=1e-5)
+    # and it equals the fully-constant-x fit on the train rows
+    want = _run_ours(np.full(T, 3.7), y33, y66, tm)
+    np.testing.assert_allclose(test_probs, want[~tm], atol=1e-5)
+
+
 def test_skip_guards_stay_nan(rng):
     """Pixels the reference never fits stay NaN: any raw-NaN obs
     (training.py:435) and <= 1 usable time (training.py:477-481)."""

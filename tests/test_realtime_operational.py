@@ -150,3 +150,63 @@ def test_run_realtime_forecast_rejects_stacked(rt_setup):
         run_realtime_forecast(replace(cfg, predictor="stacked"),
                               ["2023-06-15"], out_root=str(root),
                               download=False, log=lambda *a: None)
+    with pytest.raises(ValueError, match="deterministic"):
+        run_realtime_forecast(replace(cfg, output="deterministic"),
+                              ["2023-06-15"], out_root=str(root),
+                              download=False, log=lambda *a: None)
+
+
+@pytest.mark.slow
+def test_unverified_dates_do_not_score(rt_setup):
+    """A mixed verified/unverified date set: the unverified row's labels
+    must be NaN (not a fabricated 'normal' — label_terciles maps NaN obs
+    with finite land edges to category 1), and RPS/RPSS must average only
+    the verified rows."""
+    root, cfg = rt_setup
+    rng = np.random.default_rng(5)
+    fdir = os.path.join(str(root), "cache", cfg.out_dir, "GEFS_IMD")
+    _write_nc(os.path.join(fdir, "forecast_15_Aug_2023.nc"),
+              "prcp", ("S", "M", "Y", "X"),
+              {"S": np.array([_days("2023-08-15")]),
+               "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
+              rng.gamma(2, 2, size=(1, 4, 16, 16)))
+    res, _ = run_realtime_forecast(
+        cfg, ["2023-06-15", "2023-08-15"], out_root=str(root),
+        download=False, cache_dir=os.path.join(str(root), "cache"),
+        hindcast_source="synthetic", synthetic_step=2.0,
+        log=lambda *a: None)
+    assert np.isfinite(res.labels[0]).any()   # verified row labels land
+    assert np.isnan(res.labels[1]).all()      # unverified row: all NaN
+    # scores equal a verified-only run (masking, not dilution)
+    solo, _ = run_realtime_forecast(
+        cfg, ["2023-06-15"], out_root=str(root),
+        download=False, cache_dir=os.path.join(str(root), "cache"),
+        hindcast_source="synthetic", synthetic_step=2.0,
+        log=lambda *a: None)
+    # same land/ocean footprint as the solo run's labels (ocean pixels
+    # have no tercile edges and stay NaN in both)
+    np.testing.assert_array_equal(np.isfinite(res.labels[0]),
+                                  np.isfinite(solo.labels[0]))
+    np.testing.assert_allclose(res.rps_map, solo.rps_map, atol=1e-6)
+
+
+def test_fingerprint_mismatch_fails_before_fetch(rt_setup, tmp_path):
+    """Winners tuned under a different input/output contract are rejected
+    up front (before any download), mirroring the load-replay check."""
+    root, cfg = rt_setup
+    import json
+    src = os.path.join(str(root), "models", cfg.out_dir, "GEFS_IMD",
+                       cfg.week)
+    dst = os.path.join(str(tmp_path), "models", cfg.out_dir, "GEFS_IMD",
+                       cfg.week)
+    os.makedirs(dst)
+    with open(os.path.join(src, f"winners_{cfg.week}.json")) as f:
+        manifest = json.load(f)
+    for e in manifest:
+        e["fingerprint"] = {"predictor": "multi_predictor",
+                            "output": "proba"}
+    with open(os.path.join(dst, f"winners_{cfg.week}.json"), "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="predictor"):
+        run_realtime_forecast(cfg, ["2023-06-15"], out_root=str(tmp_path),
+                              download=False, log=lambda *a: None)

@@ -70,6 +70,8 @@ def test_suite_incremental_and_resume(tmp_path, monkeypatch):
 
     from s2s_ismr_tpu.pipelines import tune as tune_mod
     monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+    monkeypatch.setattr(tune_mod, "prefetch_nn_programs",
+                        lambda *a, **k: 0)   # no real compiles here
 
     out = str(tmp_path)
     assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
@@ -117,6 +119,8 @@ def test_suite_isolates_config_failures(tmp_path, monkeypatch):
 
     from s2s_ismr_tpu.pipelines import tune as tune_mod
     monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+    monkeypatch.setattr(tune_mod, "prefetch_nn_programs",
+                        lambda *a, **k: 0)   # no real compiles here
 
     out = str(tmp_path)
     assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
@@ -131,6 +135,89 @@ def test_suite_isolates_config_failures(tmp_path, monkeypatch):
     assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
                      "--fast", "--out", out, "--resume"]) == 0
     assert calls == ["tune_ECMWF_com"]   # only the failed one reruns
+
+
+def test_suite_compile_ahead_scheduling(tmp_path, monkeypatch):
+    """The suite prefetches config N+1's programs while N runs (tune
+    only), never the first or resume-skipped configs, and a prefetch
+    crash must not fail the suite."""
+    import json as _json
+    import numpy as np
+    from types import SimpleNamespace
+
+    runs, prefetches = [], []
+
+    def fake_run_pipeline(cfg, **kw):
+        runs.append(cfg.name)
+        fld = SimpleNamespace(values=np.zeros((2, 4, 4)))
+        return SimpleNamespace(elr=SimpleNamespace(rpss_test=fld),
+                               nn=SimpleNamespace(rpss_test=fld),
+                               elapsed_s=1.0, paths={}, figures={})
+
+    def fake_prefetch(cfg, **kw):
+        prefetches.append(cfg.name)
+        if cfg.name == "tune_IITM_com":
+            raise RuntimeError("remote_compile: dropped")   # must be benign
+        return 1
+
+    from s2s_ismr_tpu.pipelines import tune as tune_mod
+    monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+    monkeypatch.setattr(tune_mod, "prefetch_nn_programs", fake_prefetch)
+
+    out = str(tmp_path)
+    names = "tune_ECMWF_com,tune_GEFS_com,tune_IITM_com"
+    assert cli.main(["suite", "--configs", names, "--fast",
+                     "--out", out]) == 0
+    assert runs == names.split(",")
+    # every config after the first is prefetched (incl. the crashing one)
+    assert prefetches == ["tune_GEFS_com", "tune_IITM_com"]
+
+    # training_type=load never prefetches (nothing to compile ahead:
+    # the replay path compiles winner-forward programs lazily)
+    runs.clear(); prefetches.clear()
+    assert cli.main(["suite", "--configs", names, "--fast", "--out",
+                     str(tmp_path / "l"), "--training-type", "load"]) == 0
+    assert prefetches == []
+
+    # resume: already-recorded configs are neither run nor prefetched
+    runs.clear(); prefetches.clear()
+    with open(tmp_path / "suite_summary.json") as fh:
+        s = _json.load(fh)
+    s["configs"].pop("tune_IITM_com")
+    with open(tmp_path / "suite_summary.json", "w") as fh:
+        _json.dump(s, fh)
+    assert cli.main(["suite", "--configs", names, "--fast", "--out", out,
+                     "--resume"]) == 0
+    assert runs == ["tune_IITM_com"] and prefetches == []
+
+
+@pytest.mark.slow
+def test_prefetch_matches_run_nn_branch_programs(tmp_path):
+    """prefetch_nn_programs must reproduce run_nn_branch's exact program
+    statics + input shapes (grid, TrainSettings, predictor images, label
+    rank) — a drifted prefetch would silently compile dead programs and
+    the suite's compile-ahead would buy nothing. Proven by a full bucket
+    memo hit on the real run."""
+    from s2s_ismr_tpu.pipelines import tune as tune_mod
+    from s2s_ismr_tpu.train.sweep import _program_memo
+
+    cfg = get_config("tune_GEFS_com").fast_variant()
+    _program_memo.clear()
+    # step=2.0 -> 16x16 grid, divisible through the 3 down-blocks
+    assert tune_mod.prefetch_nn_programs(
+        cfg, source="synthetic", seed=0, synthetic_step=2.0,
+        log=lambda *a: None) == 1
+    bundles = tune_mod.load_bundles(cfg, "synthetic", seed=0,
+                                    synthetic_step=2.0)
+    bundles = {n: tune_mod._apply_pad(cfg, b) for n, b in bundles.items()}
+    res = tune_mod.run_nn_branch(cfg, bundles, log=lambda *a: None)
+    assert res.sweeps, "unet config must produce a sweep"
+    from s2s_ismr_tpu.train.sweep import bucket_trials, enumerate_trials
+    n_buckets = len(bucket_trials(enumerate_trials(cfg.tuning)))
+    assert n_buckets == 2                      # fast grid: 2 ct_kernels
+    for sw in res.sweeps.values():
+        # every bucket program was already in the memo (full hit)
+        assert sw.timings["compile_cached_buckets"] == n_buckets
 
 
 def test_compile_with_retry_transient():

@@ -110,3 +110,40 @@ def test_program_memo_reuses_compiled_sweeps():
     # different epochs (a TrainSettings static) -> miss
     r3 = run_unet_sweep(x1, y1, fm1.train, fm1.val, grid, epochs=3)
     assert r3.timings["compile_cached_buckets"] == 0
+
+
+@pytest.mark.slow
+def test_compile_only_populates_memo():
+    """run_unet_sweep(compile_only=True) — the suite runner's compile-ahead
+    path — must populate the SAME memo entries a real run uses (returning
+    None, executing nothing), so the subsequent real sweep reports a full
+    bucket-cache hit and still computes correct results."""
+    from s2s_ismr_tpu.train.sweep import _program_memo
+
+    b = synthetic.synthetic_hindcast(years=(2003, 2012), seed=21,
+                                     signal=0.8,
+                                     domain=Domain(67, 98, 7, 38),
+                                     step=2.0).fillna(0.0)
+    fm = splits.bootstrap_masks(b.years, n_bootstraps=2)
+    wm = timeutils.week_window_matrix(1)
+    lab = jax.vmap(
+        lambda pm: terciles.fit_and_label(b.y, b.weeks, pm, wm, None)[0]
+    )(jnp.asarray(fm.train))
+    y_oh = jnp.nan_to_num(terciles.one_hot_labels(lab), nan=0.0)
+    x = jnp.asarray(b.ensemble_mean()[..., None])
+    grid = TuningGrid(n_blocks=[2], n_filters=[1], ct_kernels=[(2, 2)],
+                      batch_sizes=[16], learning_rates=[1e-3, 1e-4],
+                      patience=4)
+
+    _program_memo.clear()
+    # dummy zero labels: only SHAPES reach the compiled program
+    y_dummy = jnp.zeros_like(y_oh)
+    assert run_unet_sweep(x, y_dummy, fm.train, fm.val, grid, epochs=4,
+                          compile_only=True) is None
+    n_prefetched = len(_program_memo._d)
+    assert n_prefetched > 0
+
+    res = run_unet_sweep(x, y_oh, fm.train, fm.val, grid, epochs=4)
+    assert res.timings["compile_cached_buckets"] == 1     # full hit
+    assert np.isfinite(res.val_loss_table).all()
+    np.testing.assert_allclose(res.predictions.sum(-1), 1.0, atol=1e-4)
