@@ -91,11 +91,22 @@ class DataBundle:
         y = np.pad(self.y, ((0, 0), (0, py), (0, px)), constant_values=np.nan)
         return replace(self, x=x, y=y, lats=g.padded_lats(), lons=g.padded_lons())
 
-    def standardize(self, eps=1e-6) -> "DataBundle":
-        """(v - mean_T) / (std_T + eps), reference preprocessing.py:338-340."""
-        xm, xs = np.nanmean(self.x, 0), np.nanstd(self.x, 0)
-        ym, ys = np.nanmean(self.y, 0), np.nanstd(self.y, 0)
-        return replace(self, x=(self.x - xm) / (xs + eps), y=(self.y - ym) / (ys + eps))
+    def standardize_stats(self, eps=1e-6):
+        """Per-pixel (mean_T, std_T + eps) for x and y — the affine
+        transform bootstrap_splits(standardize=True) applies
+        (preprocessing.py:338-340). Exposed so operational realtime
+        forecasts can be transformed with the HINDCAST's stats (the
+        winner was trained on hindcast-standardized inputs; a realtime
+        bundle's own few-sample stats would be a different transform)."""
+        return (np.nanmean(self.x, 0), np.nanstd(self.x, 0) + eps,
+                np.nanmean(self.y, 0), np.nanstd(self.y, 0) + eps)
+
+    def standardize(self, eps=1e-6, stats=None) -> "DataBundle":
+        """(v - mean_T) / (std_T + eps), reference preprocessing.py:338-340.
+        stats: optional externally-fit standardize_stats() tuple."""
+        xm, xs, ym, ys = (self.standardize_stats(eps) if stats is None
+                          else stats)
+        return replace(self, x=(self.x - xm) / xs, y=(self.y - ym) / ys)
 
     def fillna(self, value=0.0) -> "DataBundle":
         """NN-path NaN policy (preprocessing.py:341-343). The ELR path keeps
@@ -124,14 +135,21 @@ class DataBundle:
         t = np.tile(self.t, m)
         return replace(self, x=x, y=y, t=t)
 
-    def predictor_images(self, mode="mean"):
+    def predictor_images(self, mode="mean", shape_only=False):
         """Predictor tensor for the NN path, channels-last with an explicit
         channel axis — the dispatch of convert_to_ndarray
         (preprocessing.py:38-49). 'stacked' requires calling .stacked()
-        first (it changes the batch axis and targets too)."""
+        first (it changes the batch axis and targets too).
+        shape_only=True returns just the result shape tuple (for aval
+        construction) without materializing the tensor."""
         if mode == "mean" or mode == "stacked":
+            if shape_only:
+                return (self.x.shape[0],) + self.x.shape[2:] + (1,)
             return self.ensemble_mean()[..., None]
         if mode == "multi_predictor":
+            if shape_only:
+                return ((self.x.shape[0],) + self.x.shape[2:]
+                        + (self.x.shape[1],))
             return self.multi_predictor()
         raise ValueError(f"unknown predictor mode {mode!r}")
 

@@ -215,13 +215,21 @@ def download_forecast(model, obs, day, month, year, domain, week,
                       out_dir="", download=True, regrid=None,
                       custom_lead=None, cache_dir="download",
                       cookies="cookies.txt", log=print):
-    """Realtime forecast fetch (dataloader.py:338-430)."""
+    """Realtime forecast fetch (dataloader.py:338-430).
+
+    Cache naming DEVIATES from the reference's
+    forecast_{day}_{month}_{year}.nc (dataloader.py:388): that name
+    omits the URL key and lead window, so the reference's cache holds
+    only the LAST IITM member fetched, and a wk2 run with download=False
+    would silently be served a cached wk3-4 accumulation. Here the key
+    and lead are part of the filename, making offline reuse safe."""
     lead = custom_lead or LEAD_MAPPING[week]
 
     def one(key):
         url = iridl.forecast_url(key, day, month, year, lead, domain, regrid)
-        fname = os.path.join(cache_dir, out_dir, f"{model}_{obs}",
-                             f"forecast_{day}_{month}_{year}.nc")
+        fname = os.path.join(
+            cache_dir, out_dir, f"{model}_{obs}",
+            f"forecast_{key}_{day}_{month}_{year}_ld{lead[0]}-{lead[1]}.nc")
         fetch(url, fname, download, cookies, log)
         return open_netcdf_da(fname)
 

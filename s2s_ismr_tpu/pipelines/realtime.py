@@ -187,7 +187,13 @@ def fetch_realtime_set(cfg, dates, download=True, cache_dir="download",
             continue
         d = np.abs((t_obs - tv) / np.timedelta64(1, "D")).astype(float)
         j = int(np.argmin(d))
-        if d[j] <= 3.5:                  # within the weekly obs grid step
+        # the obs URL running-averages on the obs dataset's native T grid
+        # (iridl.obs_url), so a stamp matching the forecast valid time
+        # exists whenever the window is actually observed — allow only
+        # calendar jitter (<=1 day), NOT nearest-within-half-a-week: a
+        # future forecast a few days past the record's newest obs must
+        # stay unverified (NaN), not be scored against the wrong window
+        if d[j] <= 1.0:
             y_all[i] = yf.values[j]
     n_match = int(np.isfinite(y_all).any(axis=(1, 2)).sum())
     log(f"[realtime] fetched {len(dates)} forecasts; verifying obs for "
@@ -212,7 +218,8 @@ def _validate_winner_fingerprint(models_dir, cfg):
     fp = (manifest[0] or {}).get("fingerprint") if manifest else None
     if not fp:
         return                       # pre-fingerprint checkpoint
-    for key, want in (("predictor", cfg.predictor), ("output", cfg.output)):
+    for key, want in (("predictor", cfg.predictor), ("output", cfg.output),
+                      ("standardize", bool(cfg.standardize))):
         got = fp.get(key, "proba" if key == "output" else None)
         if got is not None and got != want:
             raise ValueError(
@@ -264,6 +271,26 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
     hind = load_bundles(cfg, hindcast_source, seed=seed,
                         synthetic_step=synthetic_step, download=download)
     hb = _apply_pad(cfg, hind[model_name])
+    if cfg.standardize:
+        # the winner was trained on hindcast-standardized tensors
+        # (run_pipeline pads then standardizes); the realtime forecasts
+        # and their verifying obs get the HINDCAST's per-pixel transform
+        # so images land in the trained input distribution and obs are
+        # labeled against the standardized hindcast's tercile edges
+        from dataclasses import replace as _replace
+        stats = hb.standardize_stats()
+        xm, xs, ym, ys = stats
+        hb = hb.standardize(stats=stats)
+        if rt.x.shape[1] == xm.shape[0]:
+            rt = rt.standardize(stats=stats)
+        else:
+            # realtime ensembles can carry a different member count than
+            # the hindcast (e.g. ECMWF 51 vs 11); members are
+            # exchangeable, so pool the per-member hindcast stats (law
+            # of total variance) for the realtime transform
+            pm = np.nanmean(xm, 0)
+            ps = np.sqrt(np.nanmean(xs ** 2, 0) + np.nanvar(xm, 0))
+            rt = _replace(rt, x=(rt.x - pm) / ps, y=(rt.y - ym) / ys)
 
     x_imgs = rt.fillna(0.0).predictor_images(cfg.predictor)
     res = evaluate_realtime(
@@ -312,7 +339,7 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
     import os
     from ..field import Field
     from ..io import write_netcdf
-    from .tune import load_bundles
+    from .tune import _apply_pad, load_bundles
 
     model_name = cfg.models[0]
     mdir = os.path.join(out_root, "models", cfg.out_dir,
@@ -330,6 +357,12 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
                          "raw precipitation")
     bundles = load_bundles(cfg, source, seed=seed,
                            synthetic_step=synthetic_step)
+    # replay preprocessing EXACTLY as the tune run that persisted the
+    # winner: grid pad (tune_ECMWF_full's 23->24 rows — the checkpoint's
+    # conv shapes expect the padded grid) then optional standardization
+    bundles = {n: _apply_pad(cfg, v) for n, v in bundles.items()}
+    if cfg.standardize:
+        bundles = {n: v.standardize() for n, v in bundles.items()}
     b = bundles[model_name].fillna(0.0)
     years = b.years
     rt = years == years.max()             # realtime period = final year

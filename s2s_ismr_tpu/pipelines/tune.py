@@ -457,7 +457,7 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
 
 
 def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
-                         synthetic_step=None, log=print):
+                         synthetic_step=None, log=print, use_mesh="auto"):
     """Compile (never execute) a config's NN bucket programs into the
     sweep's process memo, so a `run suite` session can overlap config
     N+1's remote compilation (20-500 s/program on this backend) with
@@ -482,14 +482,26 @@ def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
                                 frac_valid=cfg.nn_frac_valid,
                                 frac_test=cfg.nn_frac_test)
     # all of a config's models share one grid/T (MME asserts alignment),
-    # so one model's shapes compile the programs for every sweep
-    x = jnp.asarray(first.predictor_images(cfg.predictor))
+    # so one model's shapes compile the programs for every sweep. Only
+    # avals of the big tensors are passed — the prefetch runs WHILE the
+    # foreground config trains, and must not hold full-size buffers in
+    # the same HBM (y alone is F*T*H*W*3 floats on the full grids).
+    x_shape = tuple(first.predictor_images(cfg.predictor,
+                                           shape_only=True))
+    x = jax.ShapeDtypeStruct(x_shape, jnp.float32)
     n_out = 1 if cfg.output == "deterministic" else 3
-    y_dummy = jnp.zeros((fm.n_folds,) + first.y.shape + (n_out,),
-                        jnp.float32)
+    y_dummy = jax.ShapeDtypeStruct(
+        (fm.n_folds,) + first.y.shape + (n_out,), jnp.float32)
+    # mirror run_pipeline's mesh choice — a prefetch compiled for the
+    # wrong topology has memo keys the real run never looks up
+    mesh = None
+    if use_mesh and (use_mesh != "auto" or len(jax.devices()) > 1):
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.sweep_mesh()
     t0 = time.time()
     run_unet_sweep(x, y_dummy, fm.train, fm.val, cfg.tuning,
-                   epochs=cfg.epochs, output=cfg.output, compile_only=True)
+                   epochs=cfg.epochs, output=cfg.output, mesh=mesh,
+                   compile_only=True)
     log(f"[prefetch] {cfg.name}: bucket programs compiled in "
         f"{time.time() - t0:.1f}s")
     return 1

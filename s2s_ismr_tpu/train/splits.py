@@ -38,11 +38,16 @@ class FoldMasks:
 
 def _year_partitions(unique_years, n_bootstraps, frac_valid, frac_test):
     """NN-path partitions (preprocessing.py:359-371): seed=i, permute years,
-    valid = first n_valid, test = next n_test, train = rest."""
+    valid = first n_valid, test = next n_test, train = rest.
+
+    RandomState(i) is bit-identical to the reference's global
+    np.random.seed(i) + np.random.permutation (the legacy global RNG IS a
+    RandomState), without touching process-global state — the suite
+    runner computes splits on a background prefetch thread concurrently
+    with the foreground pipeline, and a global seed() would race."""
     tr, va, te = [], [], []
     for i in range(n_bootstraps):
-        np.random.seed(i)
-        shuffled = np.random.permutation(unique_years)
+        shuffled = np.random.RandomState(i).permutation(unique_years)
         n_years = len(shuffled)
         n_valid = int(frac_valid * n_years)
         n_test = int(frac_test * n_years)
@@ -63,8 +68,8 @@ def _year_partitions_elr(unique_years, n_bootstraps, frac_test):
     train = all but last n_test, test = last n_test."""
     tr, te = [], []
     for i in range(n_bootstraps):
-        np.random.seed(i)
-        shuffled = np.random.permutation(unique_years)
+        # thread-safe bit-identical reference partitions (see above)
+        shuffled = np.random.RandomState(i).permutation(unique_years)
         n_test = int(len(shuffled) * frac_test)
         if n_test == 0:
             # the reference's shuffled[:-0] would silently yield an EMPTY

@@ -107,23 +107,66 @@ class _ProgramMemo:
         # sized for the default 8-config suite: each _BLOCKS_GRID sweep
         # inserts ~36 entries (18 train + 18 pred); 64 would evict the
         # shared com-cluster programs before MME/2MME reuse them
+        import threading
         self._d: Dict[tuple, Any] = {}
+        self._inflight: Dict[tuple, Any] = {}   # key -> Future
+        self._lock = threading.Lock()
         self.max_entries = max_entries
 
     def get(self, key):
         if key is None:
             return None
-        return self._d.get(key)
+        with self._lock:
+            return self._d.get(key)
 
     def put(self, key, value):
         if key is None:
             return
-        if key not in self._d and len(self._d) >= self.max_entries:
-            self._d.pop(next(iter(self._d)))
-        self._d[key] = value
+        with self._lock:
+            if key not in self._d and len(self._d) >= self.max_entries:
+                self._d.pop(next(iter(self._d)))
+            self._d[key] = value
+
+    def begin(self, key):
+        """Claim `key` for compilation, deduplicating concurrent compiles
+        (the suite's background prefetch can race the foreground sweep on
+        shared program shapes — each 20-500 s remote compile must happen
+        once). Returns (exe, None) on a memo hit, (None, future) if
+        another thread is compiling it (wait on the future), or
+        (None, None) when this caller owns the compile and must call
+        finish(key, ...)."""
+        if key is None:
+            return None, None
+        from concurrent.futures import Future
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                return v, None
+            f = self._inflight.get(key)
+            if f is not None:
+                return None, f
+            self._inflight[key] = Future()
+            return None, None
+
+    def finish(self, key, value=None, error=None):
+        """Resolve a begin() claim: publish the executable (or propagate
+        the compile error to any waiters) and release the in-flight slot."""
+        if key is None:
+            return
+        if error is None:
+            self.put(key, value)
+        with self._lock:
+            f = self._inflight.pop(key, None)
+        if f is not None:
+            if error is None:
+                f.set_result(value)
+            else:
+                f.set_exception(error)
 
     def clear(self):
-        self._d.clear()
+        with self._lock:
+            self._d.clear()
+            self._inflight.clear()
 
 
 _program_memo = _ProgramMemo()
@@ -230,8 +273,28 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                   this same code path — not a parallel reimplementation —
                   is what guarantees the memo keys match the real run's.
     """
-    x = jnp.asarray(x)
-    y_oh_folds = jnp.asarray(y_oh_folds)
+    # compile_only callers may pass ShapeDtypeStruct avals for the big
+    # tensors (x, y) — lowering only needs shapes, and a background
+    # prefetch must not hold full-size device buffers while the
+    # foreground config trains in the same HBM. Masks stay concrete
+    # (val_rows below needs their values; they are (F, T) bools).
+    is_aval = isinstance(x, jax.ShapeDtypeStruct) or \
+        isinstance(y_oh_folds, jax.ShapeDtypeStruct)
+    if is_aval and not compile_only:
+        raise TypeError("ShapeDtypeStruct inputs are only valid with "
+                        "compile_only=True")
+    if is_aval and mesh is not None:
+        # the mesh path reshapes/pads lane tensors; materialize zeros
+        # there (multi-device backends in this repo are virtual CPU
+        # meshes, where 'device' memory is host memory)
+        x = jnp.zeros(x.shape, x.dtype) \
+            if isinstance(x, jax.ShapeDtypeStruct) else x
+        y_oh_folds = jnp.zeros(y_oh_folds.shape, y_oh_folds.dtype) \
+            if isinstance(y_oh_folds, jax.ShapeDtypeStruct) else y_oh_folds
+        is_aval = False
+    if not is_aval:
+        x = jnp.asarray(x)
+        y_oh_folds = jnp.asarray(y_oh_folds)
     train_masks = jnp.asarray(train_masks)
     val_masks = jnp.asarray(val_masks)
     F = train_masks.shape[0]
@@ -306,8 +369,9 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         pkey = ((kern, filt, blocks) if model_factory is None else key_)
         if pkey not in pred_candidates:
             from functools import partial
+            x1 = jax.ShapeDtypeStruct((1,) + tuple(x.shape[1:]), x.dtype)
             var_avals = jax.eval_shape(partial(model.init, train=False),
-                                       jax.random.key(0), x[:1])
+                                       jax.random.key(0), x1)
             # train_fold's output tree always carries a 'batch_stats'
             # collection (empty dict for BN-less models, engine.py:103,200);
             # model.init omits it for bn=False, and an AOT-compiled call is
@@ -330,8 +394,21 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             # background prefetch: yield to any foreground sweep's
             # critical-path compile phase (server serializes requests)
             _fg_compile_idle.wait()
-        c = _compile_with_retry(prog)
-        _program_memo.put(memo_key, c)
+        # late re-check + in-flight dedup: the memo was consulted at
+        # job-build time, but a concurrent sweep (suite prefetch vs the
+        # running config) may have compiled — or be compiling — the same
+        # program since; never pay a duplicate remote compile
+        exe, fut = _program_memo.begin(memo_key)
+        if exe is not None:
+            return exe
+        if fut is not None:
+            return fut.result()
+        try:
+            c = _compile_with_retry(prog)
+        except BaseException as e:
+            _program_memo.finish(memo_key, error=e)
+            raise
+        _program_memo.finish(memo_key, c)
         return c
 
     if not compile_only:

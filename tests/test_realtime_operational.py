@@ -28,6 +28,12 @@ def _days(date_str):
     return float((np.datetime64(date_str) - EPOCH) / np.timedelta64(1, "D"))
 
 
+def _fc_name(day, mon_name, year=2023, key="GEFS", lead=(16, 29)):
+    """gateway.download_forecast cache naming (key + lead disambiguated,
+    unlike the reference's forecast_{d}_{m}_{y}.nc)."""
+    return f"forecast_{key}_{day}_{mon_name}_{year}_ld{lead[0]}-{lead[1]}.nc"
+
+
 def _write_nc(path, var, dims, coords, values):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with netcdf_file(path, "w") as f:
@@ -53,10 +59,10 @@ def rt_setup(tmp_path_factory):
 
     rng = np.random.default_rng(0)
     fdir = os.path.join(str(root), "cache", cfg.out_dir, "GEFS_IMD")
-    # dated forecasts: single S each, 4 members (forecast_{d}_{Mon}_{y}.nc)
+    # dated forecasts: single S each, 4 members
     for date, mon_name, day in [("2023-06-15", "Jun", 15),
                                 ("2023-06-22", "Jun", 22)]:
-        _write_nc(os.path.join(fdir, f"forecast_{day}_{mon_name}_2023.nc"),
+        _write_nc(os.path.join(fdir, _fc_name(day, mon_name)),
                   "prcp", ("S", "M", "Y", "X"),
                   {"S": np.array([_days(date)]),
                    "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
@@ -110,7 +116,7 @@ def test_fetch_realtime_future_unverified(rt_setup):
     root, cfg = rt_setup
     rng = np.random.default_rng(5)
     fdir = os.path.join(str(root), "cache", cfg.out_dir, "GEFS_IMD")
-    _write_nc(os.path.join(fdir, "forecast_15_Aug_2023.nc"),
+    _write_nc(os.path.join(fdir, _fc_name(15, "Aug")),
               "prcp", ("S", "M", "Y", "X"),
               {"S": np.array([_days("2023-08-15")]),
                "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
@@ -120,7 +126,7 @@ def test_fetch_realtime_future_unverified(rt_setup):
                            cache_dir=os.path.join(str(root), "cache"),
                            log=lambda *a: None)
     assert np.isfinite(b.y[0]).all()
-    assert np.isnan(b.y[1]).all()        # valid 09-06: no obs within 3.5d
+    assert np.isnan(b.y[1]).all()        # valid 09-06: no obs within 1d
 
 
 @pytest.mark.slow
@@ -165,7 +171,7 @@ def test_unverified_dates_do_not_score(rt_setup):
     root, cfg = rt_setup
     rng = np.random.default_rng(5)
     fdir = os.path.join(str(root), "cache", cfg.out_dir, "GEFS_IMD")
-    _write_nc(os.path.join(fdir, "forecast_15_Aug_2023.nc"),
+    _write_nc(os.path.join(fdir, _fc_name(15, "Aug")),
               "prcp", ("S", "M", "Y", "X"),
               {"S": np.array([_days("2023-08-15")]),
                "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
@@ -210,3 +216,75 @@ def test_fingerprint_mismatch_fails_before_fetch(rt_setup, tmp_path):
     with pytest.raises(ValueError, match="predictor"):
         run_realtime_forecast(cfg, ["2023-06-15"], out_root=str(tmp_path),
                               download=False, log=lambda *a: None)
+    # standardize is part of the contract too: a winner trained on
+    # z-scored inputs must not silently receive mm/day-scale images
+    for e in manifest:
+        e["fingerprint"] = {"predictor": "mean", "output": "proba",
+                            "standardize": True}
+    with open(os.path.join(dst, f"winners_{cfg.week}.json"), "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="standardize"):
+        run_realtime_forecast(cfg, ["2023-06-15"], out_root=str(tmp_path),
+                              download=False, log=lambda *a: None)
+
+
+def test_obs_match_requires_same_stamp(rt_setup, tmp_path):
+    """The obs URL samples the obs dataset's own T grid, so a verifying
+    stamp coincides with the forecast valid time when the window is
+    observed; a stamp 3 days off (e.g. the record's newest obs near a
+    future forecast) must NOT verify it (it covers a shifted window)."""
+    root, cfg = rt_setup
+    cache = os.path.join(str(tmp_path), "cache")
+    fdir = os.path.join(cache, cfg.out_dir, "GEFS_IMD")
+    rng = np.random.default_rng(9)
+    _write_nc(os.path.join(fdir, _fc_name(15, "Jun")),
+              "prcp", ("S", "M", "Y", "X"),
+              {"S": np.array([_days("2023-06-15")]),
+               "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
+              rng.gamma(2, 2, size=(1, 4, 16, 16)))
+    # valid time is 2023-07-07; the only obs stamp is 3 days earlier
+    _write_nc(os.path.join(fdir, "IMD_wk3-4.nc"), "prcp", ("T", "Y", "X"),
+              {"T": np.array([_days("2023-07-04")]), "Y": LATS, "X": LONS},
+              rng.gamma(2, 2, size=(1, 16, 16)))
+    b = fetch_realtime_set(cfg, ["2023-06-15"], download=False,
+                           cache_dir=cache, log=lambda *a: None)
+    assert np.isnan(b.y).all()
+
+
+def test_realtime_eval_applies_grid_pad(rt_setup):
+    """Winners from pad configs (tune_ECMWF_full's 23->24 Y rows) must be
+    replayable by run_realtime_eval: the held-out bundle gets the same
+    _apply_pad the tune run trained on (a 15-row grid would otherwise
+    crash the stride-2 U-Net whose checkpoint expects 16 rows)."""
+    from dataclasses import replace
+
+    from s2s_ismr_tpu.pipelines.realtime import run_realtime_eval
+    root, cfg = rt_setup
+    cfg_pad = replace(cfg, pad_y_rows=1, pad_lat_value=39.0,
+                      synthetic_grid=(15, 16))
+    res, paths = run_realtime_eval(cfg_pad, out_root=str(root),
+                                   source="synthetic",
+                                   log=lambda *a: None)
+    assert res.probs.shape[1:] == (16, 16, 3)
+    assert os.path.exists(paths["probs"])
+
+
+@pytest.mark.slow
+def test_realtime_standardize_transform(rt_setup):
+    """--standardize winners get hindcast-standardized realtime inputs
+    (run_pipeline trains on standardized tensors; feeding raw mm/day
+    images to such a winner would be silently wrong)."""
+    from dataclasses import replace
+    root, cfg = rt_setup
+    kw = dict(out_root=str(root), download=False,
+              cache_dir=os.path.join(str(root), "cache"),
+              hindcast_source="synthetic", synthetic_step=2.0,
+              log=lambda *a: None)
+    raw, _ = run_realtime_forecast(cfg, ["2023-06-15"], **kw)
+    std, _ = run_realtime_forecast(replace(cfg, standardize=True),
+                                   ["2023-06-15"], **kw)
+    # same winner, transformed inputs -> different probabilities
+    assert not np.allclose(raw.probs, std.probs)
+    np.testing.assert_allclose(std.probs.sum(-1), 1.0, atol=1e-5)
+    # labels stay valid terciles (obs transformed consistently with edges)
+    assert np.isfinite(std.labels).any()

@@ -203,14 +203,24 @@ def test_prefetch_matches_run_nn_branch_programs(tmp_path):
 
     cfg = get_config("tune_GEFS_com").fast_variant()
     _program_memo.clear()
-    # step=2.0 -> 16x16 grid, divisible through the 3 down-blocks
+    # step=2.0 -> 16x16 grid, divisible through the 3 down-blocks.
+    # use_mesh='auto' on BOTH sides: the suite's prefetch and run_pipeline
+    # make the same topology choice (a mesh mismatch selects entirely
+    # different programs); under the conftest's 8-device CPU backend this
+    # exercises the mesh-sharded program path.
     assert tune_mod.prefetch_nn_programs(
         cfg, source="synthetic", seed=0, synthetic_step=2.0,
         log=lambda *a: None) == 1
     bundles = tune_mod.load_bundles(cfg, "synthetic", seed=0,
                                     synthetic_step=2.0)
     bundles = {n: tune_mod._apply_pad(cfg, b) for n, b in bundles.items()}
-    res = tune_mod.run_nn_branch(cfg, bundles, log=lambda *a: None)
+    import jax as _jax
+    mesh = None
+    if len(_jax.devices()) > 1:
+        from s2s_ismr_tpu.parallel import mesh as pmesh
+        mesh = pmesh.sweep_mesh()
+    res = tune_mod.run_nn_branch(cfg, bundles, log=lambda *a: None,
+                                 mesh=mesh)
     assert res.sweeps, "unet config must produce a sweep"
     from s2s_ismr_tpu.train.sweep import bucket_trials, enumerate_trials
     n_buckets = len(bucket_trials(enumerate_trials(cfg.tuning)))

@@ -147,3 +147,43 @@ def test_compile_only_populates_memo():
     assert res.timings["compile_cached_buckets"] == 1     # full hit
     assert np.isfinite(res.val_loss_table).all()
     np.testing.assert_allclose(res.predictions.sum(-1), 1.0, atol=1e-4)
+
+
+def test_program_memo_inflight_dedup():
+    """Concurrent compiles of the same program key must happen once: the
+    second claimant waits on the first's future (the suite's background
+    prefetch can race the foreground sweep on shared shapes, and each
+    duplicate remote compile costs 20-500 s)."""
+    import threading
+
+    from s2s_ismr_tpu.train.sweep import _ProgramMemo
+
+    memo = _ProgramMemo()
+    exe, fut = memo.begin(("k",))
+    assert exe is None and fut is None          # first claim owns it
+    exe2, fut2 = memo.begin(("k",))
+    assert exe2 is None and fut2 is not None    # second waits
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(fut2.result(timeout=5)))
+    t.start()
+    memo.finish(("k",), "compiled")
+    t.join(timeout=5)
+    assert got == ["compiled"]
+    assert memo.get(("k",)) == "compiled"       # published to the memo
+    exe3, fut3 = memo.begin(("k",))
+    assert exe3 == "compiled" and fut3 is None  # later claims hit
+
+    # a failed compile propagates to waiters and releases the slot
+    assert memo.begin(("bad",)) == (None, None)
+    _, wf = memo.begin(("bad",))
+    memo.finish(("bad",), error=RuntimeError("boom"))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        wf.result(timeout=5)
+    assert memo.get(("bad",)) is None           # not published
+    assert memo.begin(("bad",)) == (None, None)  # slot reclaimable
+
+    # None keys (model_factory sweeps) bypass the memo entirely
+    assert memo.begin(None) == (None, None)
+    memo.finish(None, "x")
