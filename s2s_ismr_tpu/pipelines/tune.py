@@ -329,7 +329,8 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
                             * (-(-x.shape[0] // bs_)))
 
     if cfg.is_mme:
-        preds = np.asarray(elr_ops.blend_probabilities(per_model_preds))
+        # stays on device like the per-model sweep predictions
+        preds = elr_ops.blend_probabilities(per_model_preds)
     else:
         preds = per_model_preds[0]
 

@@ -81,7 +81,9 @@ class SweepResult:
     """Per-fold winners + the full val-loss table for diagnostics."""
     best_val_loss: np.ndarray            # (F,)
     best_trial: List[Trial]              # per fold
-    predictions: np.ndarray              # (F, T, H, W, 3) winner eval-mode preds
+    predictions: Any                     # (F, T, H, W, 3) winner eval-mode
+    # preds — DEVICE-resident (jnp): downstream RPSS consumes them on
+    # device; np.asarray() only where host values are actually needed
     val_loss_table: np.ndarray           # (F, n_trials) in product order
     winner_variables: List[Any]          # per fold: flax variables (host)
     winner_configs: List[UNetConfig]     # per fold
@@ -500,7 +502,13 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             fs = np.asarray([f for f, _, _ in frs] + [frs[0][0]] * (F - G))
             rs = np.asarray([r for _, r, _ in frs] + [frs[0][1]] * (F - G))
             vstack = jax.tree.map(lambda a: a[fs, rs], dispatched[bpos][0])
-            preds_g = np.asarray(pred_futs[pkey].result()(vstack, x))
+            # winner predictions STAY ON DEVICE: the RPSS stage consumes
+            # them in-place and only (F, Y, X) skill maps cross the
+            # tunnel — materializing (F, T, H, W, 3) here cost the
+            # 64x64 configs ~200 s of collect in device->host->device
+            # round trips (PERF.md). Forwards also dispatch async across
+            # winner groups now (no per-group np.asarray sync).
+            preds_g = pred_futs[pkey].result()(vstack, x)
             host_vars = jax.device_get(vstack)
             for i, (f, _, _) in enumerate(frs):
                 preds_by_fold[f] = preds_g[i]
@@ -511,7 +519,7 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         # in-flight compile threads for the process lifetime
         pred_pool.shutdown(wait=False, cancel_futures=True)
     winner_vars = [vars_by_fold[f] for f in range(F)]
-    predictions = np.stack([preds_by_fold[f] for f in range(F)])
+    predictions = jnp.stack([preds_by_fold[f] for f in range(F)])
     winner_cfgs = [UNetConfig(filters=t.filters, n_blocks=t.n_blocks,
                               ct_kernel=t.ct_kernel, apool=apool, bn=bn,
                               output=output)
