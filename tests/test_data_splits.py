@@ -169,6 +169,23 @@ def test_standardize_formula_and_label_invariance(bundle):
     np.testing.assert_array_equal(l_raw[ok], l_std[ok])
 
 
+def test_standardize_external_stats(bundle):
+    """standardize(stats=...) applies an externally-fit transform (the
+    operational realtime path transforms dated forecasts with HINDCAST
+    stats); with the bundle's own stats it must equal standardize()."""
+    b = bundle
+    stats = b.standardize_stats()
+    np.testing.assert_array_equal(b.standardize(stats=stats).x,
+                                  b.standardize().x)
+    # applying hindcast stats to a different bundle: exact affine map
+    import dataclasses
+    other = dataclasses.replace(b, x=b.x * 2.0 + 1.0, y=b.y + 3.0)
+    s = other.standardize(stats=stats)
+    xm, xs, ym, ys = stats
+    np.testing.assert_allclose(s.x, (other.x - xm) / xs, rtol=1e-6)
+    np.testing.assert_allclose(s.y, (other.y - ym) / ys, rtol=1e-6)
+
+
 def test_pipeline_standardize_flag(tmp_path):
     """run_pipeline(standardize=True) standardizes before both branches and
     still yields finite skill tensors."""
