@@ -262,12 +262,18 @@ def main(argv=None):
                       f"{type(e).__name__}: {e}", file=sys.stderr)
 
         pending = [c for c in cfgs if c.name not in results]
-        futs = {}
         with ThreadPoolExecutor(max_workers=1) as prefetch_pool:
+            # The program memo's in-flight dedup (sweep._ProgramMemo.begin)
+            # makes a prefetch racing the foreground run on the same
+            # program SHARE the compile rather than duplicate it, so the
+            # suite never blocks on a prefetch future — and the FIRST
+            # config is prefetched too: its bucket compiles start while
+            # the foreground is still in the data+ELR stages.
+            if pending and args.training_type == "tune":
+                prefetch_pool.submit(_prefetch, pending[0])
             for i, cfg in enumerate(pending):
                 if i + 1 < len(pending) and args.training_type == "tune":
-                    futs[pending[i + 1].name] = prefetch_pool.submit(
-                        _prefetch, pending[i + 1])
+                    prefetch_pool.submit(_prefetch, pending[i + 1])
                 kw = {}
                 if args.profile:
                     kw["profile_dir"] = os.path.join(args.profile, cfg.name)
@@ -283,11 +289,6 @@ def main(argv=None):
                     print(f"[suite] {cfg.name} FAILED: {e}",
                           file=sys.stderr)
                 _dump(partial=True)   # survive a kill mid-suite
-                nxt = futs.pop(pending[i + 1].name, None) \
-                    if i + 1 < len(pending) else None
-                if nxt is not None:
-                    nxt.result()      # block: avoid the duplicate-compile
-                    #                   race with the next run
         summary = _dump(partial=False)
         print(json.dumps(summary, indent=1))
         return 1 if any("error" in r for r in results.values()) else 0

@@ -138,9 +138,11 @@ def test_suite_isolates_config_failures(tmp_path, monkeypatch):
 
 
 def test_suite_compile_ahead_scheduling(tmp_path, monkeypatch):
-    """The suite prefetches config N+1's programs while N runs (tune
-    only), never the first or resume-skipped configs, and a prefetch
-    crash must not fail the suite."""
+    """The suite prefetches every pending config's programs — config 0's
+    overlap its own data+ELR stages; N+1's overlap N's training (tune
+    only, never resume-skipped configs) — and a prefetch crash must not
+    fail the suite. The prefetch-vs-run compile race is resolved by the
+    program memo's in-flight dedup (test_program_memo_inflight_dedup)."""
     import json as _json
     import numpy as np
     from types import SimpleNamespace
@@ -169,8 +171,9 @@ def test_suite_compile_ahead_scheduling(tmp_path, monkeypatch):
     assert cli.main(["suite", "--configs", names, "--fast",
                      "--out", out]) == 0
     assert runs == names.split(",")
-    # every config after the first is prefetched (incl. the crashing one)
-    assert prefetches == ["tune_GEFS_com", "tune_IITM_com"]
+    # every pending config is prefetched (incl. the crashing one)
+    assert prefetches == ["tune_ECMWF_com", "tune_GEFS_com",
+                          "tune_IITM_com"]
 
     # training_type=load never prefetches (nothing to compile ahead:
     # the replay path compiles winner-forward programs lazily)
@@ -188,7 +191,9 @@ def test_suite_compile_ahead_scheduling(tmp_path, monkeypatch):
         _json.dump(s, fh)
     assert cli.main(["suite", "--configs", names, "--fast", "--out", out,
                      "--resume"]) == 0
-    assert runs == ["tune_IITM_com"] and prefetches == []
+    # the one pending config still gets its own compile-ahead overlap;
+    # recorded configs are neither run nor prefetched
+    assert runs == ["tune_IITM_com"] and prefetches == ["tune_IITM_com"]
 
 
 @pytest.mark.slow
