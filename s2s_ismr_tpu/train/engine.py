@@ -63,6 +63,9 @@ class TrainSettings:
     loss: str = "categorical_crossentropy"   # | 'mse' (deterministic head:
     # the proba head trains on one-hot terciles, the deterministic head on
     # raw precipitation with NaN-masked MSE)
+    unroll: int = 1              # lax.scan unroll of the minibatch loop —
+    # identical numerics; trades program size (compile time) for fewer
+    # per-step dispatch boundaries on op-latency-bound step programs
 
 
 def _tree_where(pred, a, b):
@@ -171,7 +174,8 @@ def train_fold(model, x, y_onehot, train_mask, val_mask, lr, key,
             idx = jnp.concatenate([idx, jnp.full((pad,), T, idx.dtype)])
         batches = idx.reshape(n_batches, bs)
         (params, stats, opt_state), _ = jax.lax.scan(
-            batch_step, (params, stats, opt_state), (batches, dkeys))
+            batch_step, (params, stats, opt_state), (batches, dkeys),
+            unroll=settings.unroll)
 
         vloss = val_loss_fn(params, stats)
         best_params, best_stats, best_vloss, wait, stopped = best

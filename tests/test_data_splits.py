@@ -228,3 +228,27 @@ def test_native_grid_synthetic_shapes():
     # an explicit step (smoke runs) still overrides the native grid
     b3 = load_bundles(cfg, "synthetic", synthetic_step=2.0)["ECMWF"]
     assert b3.x.shape[2:] != (23, 24)
+
+
+def test_smooth2d_matches_stacked_mean():
+    """The in-place accumulating box smoother must stay bit-identical to
+    the k-way stacked-mean formulation it replaced (numpy's add.reduce
+    is sequential for k <= 8, so the summation order matches exactly)."""
+    from s2s_ismr_tpu.data.synthetic import _smooth2d
+
+    def stacked(a, k):
+        for axis in (-2, -1):
+            pad = [(0, 0)] * a.ndim
+            pad[axis] = (k // 2, k // 2)
+            ap = np.pad(a, pad, mode="edge")
+            a = np.mean(
+                np.stack([np.take(ap, range(i, i + a.shape[axis]),
+                                  axis=axis) for i in range(k)], 0), 0)
+        return a
+
+    rng = np.random.default_rng(7)
+    for k in (3, 5, 7):
+        for shape in ((9, 11), (4, 9, 11), (2, 3, 8, 8)):
+            x = rng.normal(size=shape)
+            np.testing.assert_array_equal(_smooth2d(x.copy(), k),
+                                          stacked(x.copy(), k))
