@@ -76,7 +76,7 @@ def evaluate_realtime(model, variables, x_images, hindcast_obs,
                       hindcast_weeks, fcst_weeks, obs=None,
                       obs_t_mask=None,
                       rmm=None, nino34=None, gradcam_category=2,
-                      window=1):
+                      window=1, probs=None):
     """Evaluate realtime forecasts against the hindcast climatology.
 
     model/variables: a winner checkpoint (train/checkpoint.py).
@@ -92,9 +92,16 @@ def evaluate_realtime(model, variables, x_images, hindcast_obs,
                   silently scoring unverified dates as "observed normal"
     rmm:          optional (T, 2) RMM1/RMM2 MJO index at init time
     nino34:       optional (T,) Nino3.4 anomaly at init time
+    probs:        optional precomputed (T, H, W, 3) probabilities — the
+                  MME path blends per-model winner predictions upstream
+                  (training.py:344-350 semantics) and scores the blend
+                  here; model/variables/x_images then only drive GradCAM
     """
     x = jnp.asarray(x_images, jnp.float32)
-    probs = np.asarray(model.apply(variables, x, train=False))
+    if probs is None:
+        probs = np.asarray(model.apply(variables, x, train=False))
+    else:
+        probs = np.asarray(probs)
 
     labels = rps_map = rpss_map = None
     if obs is not None:
@@ -147,16 +154,19 @@ _MONTH_NAMES = {v: k for k, v in timeutils.MONTHS.items()}
 
 
 def fetch_realtime_set(cfg, dates, download=True, cache_dir="download",
-                       cookies="cookies.txt", log=print):
+                       cookies="cookies.txt", log=print, model=None):
     """Operational fetch (dataloader.py:338-495 flow): one dated forecast
     per init date via download_forecast, plus the verifying obs series on
     the model grid via get_obs, matched to the forecasts' mid-lead valid
     times. Returns a DataBundle whose y is NaN where no verifying obs
-    exists yet (e.g. a true future forecast)."""
+    exists yet (e.g. a true future forecast).
+
+    model: which of cfg.models to fetch (default the first; MME realtime
+    fetches each model with its own per-model lead, cfg.lead(m))."""
     from ..data import gateway
     from ..data.bundle import DataBundle
 
-    model, obs = cfg.models[0], cfg.obs
+    model, obs = model or cfg.models[0], cfg.obs
     lead = cfg.lead(model)
     xs, t_valid = [], []
     for d in dates:
@@ -228,6 +238,29 @@ def _validate_winner_fingerprint(models_dir, cfg):
                 f"--{key} flag (or retune)")
 
 
+def _standardize_rt(hb, rt):
+    """Hindcast-fitted per-pixel standardization for operational inputs:
+    the winner was trained on hindcast-standardized tensors (run_pipeline
+    pads then standardizes), so the realtime forecasts and their
+    verifying obs get the HINDCAST's transform — images land in the
+    trained input distribution and obs are labeled against the
+    standardized hindcast's tercile edges."""
+    from dataclasses import replace as _replace
+    stats = hb.standardize_stats()
+    xm, xs, ym, ys = stats
+    hb = hb.standardize(stats=stats)
+    if rt.x.shape[1] == xm.shape[0]:
+        rt = rt.standardize(stats=stats)
+    else:
+        # realtime ensembles can carry a different member count than the
+        # hindcast (e.g. ECMWF 51 vs 11); members are exchangeable, so
+        # pool the per-member hindcast stats (law of total variance)
+        pm = np.nanmean(xm, 0)
+        ps = np.sqrt(np.nanmean(xs ** 2, 0) + np.nanvar(xm, 0))
+        rt = _replace(rt, x=(rt.x - pm) / ps, y=(rt.y - ym) / ys)
+    return hb, rt
+
+
 def run_realtime_forecast(cfg, dates, out_root=".", download=True,
                           cache_dir="download", cookies="cookies.txt",
                           rmm=None, nino34=None, hindcast_source="iridl",
@@ -242,6 +275,14 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
     dates: iterable of 'YYYY-MM-DD' init dates.
     hindcast_source: where the tercile-edge-fitting hindcast record comes
     from ('iridl' cached fetch = the tuning data; 'synthetic' for tests).
+
+    MME configs (tune_MME/tune_2MME winners) fetch each model's dated
+    forecast with its own lead, predict with each model's persisted
+    winner, and blend the tercile probabilities with renormalization
+    (training.py:344-350); tercile edges come from the cross-model-mean
+    obs record exactly like tune_MME's y (tune_MME.py:77). GradCAM is
+    attributed through the FIRST model's winner (an attribution needs a
+    single network; the blend has none).
     """
     import os
     from ..field import Field
@@ -255,52 +296,62 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
         raise ValueError("realtime forecasting needs tercile probabilities"
                          " — winners tuned with output='deterministic' "
                          "emit raw precipitation")
-    model_name = cfg.models[0]
-    mdir = os.path.join(out_root, "models", cfg.out_dir,
-                        f"{model_name}_{cfg.obs}", cfg.week)
-    _validate_winner_fingerprint(mdir, cfg)
-    model, variables = load_winner_for_realtime(mdir, cfg.week,
-                                                cfg.architecture)
+    model_names = list(cfg.models)
+    winners = {}
+    for m in model_names:     # validate ALL fingerprints before any fetch
+        mdir = os.path.join(out_root, "models", cfg.out_dir,
+                            f"{m}_{cfg.obs}", cfg.week)
+        _validate_winner_fingerprint(mdir, cfg)
+        winners[m] = load_winner_for_realtime(mdir, cfg.week,
+                                              cfg.architecture)
 
-    rt = fetch_realtime_set(cfg, dates, download=download,
-                            cache_dir=cache_dir, cookies=cookies, log=log)
-    # which forecast rows have verifying obs — computed BEFORE padding
-    # (the ECMWF-full pad zero-fills y, which would count as "observed")
-    have_obs = np.isfinite(rt.y).any(axis=(1, 2))
-    rt = _apply_pad(cfg, rt)
     hind = load_bundles(cfg, hindcast_source, seed=seed,
                         synthetic_step=synthetic_step, download=download)
-    hb = _apply_pad(cfg, hind[model_name])
-    if cfg.standardize:
-        # the winner was trained on hindcast-standardized tensors
-        # (run_pipeline pads then standardizes); the realtime forecasts
-        # and their verifying obs get the HINDCAST's per-pixel transform
-        # so images land in the trained input distribution and obs are
-        # labeled against the standardized hindcast's tercile edges
-        from dataclasses import replace as _replace
-        stats = hb.standardize_stats()
-        xm, xs, ym, ys = stats
-        hb = hb.standardize(stats=stats)
-        if rt.x.shape[1] == xm.shape[0]:
-            rt = rt.standardize(stats=stats)
-        else:
-            # realtime ensembles can carry a different member count than
-            # the hindcast (e.g. ECMWF 51 vs 11); members are
-            # exchangeable, so pool the per-member hindcast stats (law
-            # of total variance) for the realtime transform
-            pm = np.nanmean(xm, 0)
-            ps = np.sqrt(np.nanmean(xs ** 2, 0) + np.nanvar(xm, 0))
-            rt = _replace(rt, x=(rt.x - pm) / ps, y=(rt.y - ym) / ys)
+    rts, hbs, probs_per_model = {}, {}, []
+    have_obs = None
+    for m in model_names:
+        rt = fetch_realtime_set(cfg, dates, download=download,
+                                cache_dir=cache_dir, cookies=cookies,
+                                log=log, model=m)
+        if have_obs is None:
+            # which forecast rows have verifying obs — from the first
+            # model's fetch (all models verify against the same obs
+            # source), computed BEFORE padding (the ECMWF-full pad
+            # zero-fills y, which would count as "observed")
+            have_obs = np.isfinite(rt.y).any(axis=(1, 2))
+        rt = _apply_pad(cfg, rt)
+        hb = _apply_pad(cfg, hind[m])
+        if cfg.standardize:
+            hb, rt = _standardize_rt(hb, rt)
+        rts[m], hbs[m] = rt, hb
+        model_m, vars_m = winners[m]
+        x_m = rt.fillna(0.0).predictor_images(cfg.predictor)
+        probs_per_model.append(
+            np.asarray(model_m.apply(vars_m,
+                                     jnp.asarray(x_m, jnp.float32),
+                                     train=False)))
 
-    x_imgs = rt.fillna(0.0).predictor_images(cfg.predictor)
+    first = model_names[0]
+    rt0, hb0 = rts[first], hbs[first]
+    if cfg.is_mme:
+        from ..ops import elr as elr_ops
+        probs = np.asarray(elr_ops.blend_probabilities(probs_per_model))
+        hind_y = np.mean(np.stack([hbs[m].y for m in model_names]), 0)
+        rt_y = np.mean(np.stack([rts[m].y for m in model_names]), 0)
+    else:
+        probs = probs_per_model[0]
+        hind_y, rt_y = hb0.y, rt0.y
+    model, variables = winners[first]
+    x_imgs = rt0.fillna(0.0).predictor_images(cfg.predictor)
     res = evaluate_realtime(
-        model, variables, x_imgs, hb.y, hb.weeks, rt.weeks,
-        obs=rt.y if have_obs.any() else None, obs_t_mask=have_obs,
-        rmm=rmm, nino34=nino34)
+        model, variables, x_imgs, hind_y, hb0.weeks, rt0.weeks,
+        obs=rt_y if have_obs.any() else None, obs_t_mask=have_obs,
+        rmm=rmm, nino34=nino34, probs=probs)
 
+    model_name = "_".join(model_names)
     out_dir = os.path.join(out_root, "outputs", "Realtime",
                            f"{model_name}_{cfg.obs}")
-    coords = {"Y": rt.lats, "X": rt.lons}
+    coords = {"Y": rt0.lats, "X": rt0.lons}
     tag = f"{dates[0]}_{dates[-1]}" if len(dates) > 1 else str(dates[0])
     paths = {
         "probs": write_netcdf(
@@ -335,18 +386,25 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
     `nino34` ((T,) anomalies); with source='synthetic' absent indices are
     filled with synthetic stand-ins so the composite machinery runs —
     they are never fabricated for real data.
+
+    MME configs predict with each model's winner and blend with
+    renormalization (training.py:344-350), scored against the
+    cross-model-mean obs record (tune_MME.py:77); GradCAM attributes
+    through the first model's winner.
     """
     import os
     from ..field import Field
     from ..io import write_netcdf
     from .tune import _apply_pad, load_bundles
 
-    model_name = cfg.models[0]
-    mdir = os.path.join(out_root, "models", cfg.out_dir,
-                        f"{model_name}_{cfg.obs}", cfg.week)
-    _validate_winner_fingerprint(mdir, cfg)
-    model, variables = load_winner_for_realtime(mdir, cfg.week,
-                                                cfg.architecture)
+    model_names = list(cfg.models)
+    winners = {}
+    for m in model_names:
+        mdir = os.path.join(out_root, "models", cfg.out_dir,
+                            f"{m}_{cfg.obs}", cfg.week)
+        _validate_winner_fingerprint(mdir, cfg)
+        winners[m] = load_winner_for_realtime(mdir, cfg.week,
+                                              cfg.architecture)
 
     if cfg.predictor == "stacked":
         raise ValueError("realtime eval does not support the stacked "
@@ -363,7 +421,8 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
     bundles = {n: _apply_pad(cfg, v) for n, v in bundles.items()}
     if cfg.standardize:
         bundles = {n: v.standardize() for n, v in bundles.items()}
-    b = bundles[model_name].fillna(0.0)
+    first = model_names[0]
+    b = bundles[first].fillna(0.0)
     years = b.years
     rt = years == years.max()             # realtime period = final year
     hc = ~rt
@@ -375,15 +434,31 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
         if nino34 is None:
             nino34 = rng.normal(0, 0.8, size=int(rt.sum()))
 
+    probs = None
+    if cfg.is_mme:
+        from ..ops import elr as elr_ops
+        per_model = []
+        for m in model_names:
+            model_m, vars_m = winners[m]
+            x_m = bundles[m].fillna(0.0).predictor_images(cfg.predictor)[rt]
+            per_model.append(np.asarray(model_m.apply(
+                vars_m, jnp.asarray(x_m, jnp.float32), train=False)))
+        probs = np.asarray(elr_ops.blend_probabilities(per_model))
+        y_shared = np.mean(np.stack([bundles[m].y for m in model_names]), 0)
+    else:
+        y_shared = bundles[first].y
+
     # tercile edges are fit on the RAW obs record: the fillna'd tensor
     # would give ocean pixels finite all-zero edges, labeling the NaN
     # verifying obs as 'normal' and polluting the RPSS map with fake
     # skill values (raw NaN pools -> NaN edges -> NaN labels -> NaN RPSS)
+    model, variables = winners[first]
     res = evaluate_realtime(
-        model, variables, x_rt, bundles[model_name].y[hc],
+        model, variables, x_rt, y_shared[hc],
         b.weeks[hc], b.weeks[rt],
-        obs=bundles[model_name].y[rt], rmm=rmm, nino34=nino34)
+        obs=y_shared[rt], rmm=rmm, nino34=nino34, probs=probs)
 
+    model_name = "_".join(model_names)
     out_dir = os.path.join(out_root, "outputs", "Realtime",
                            f"{model_name}_{cfg.obs}")
     coords = {"Y": b.lats, "X": b.lons}

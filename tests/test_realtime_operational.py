@@ -288,3 +288,93 @@ def test_realtime_standardize_transform(rt_setup):
     np.testing.assert_allclose(std.probs.sum(-1), 1.0, atol=1e-5)
     # labels stay valid terciles (obs transformed consistently with edges)
     assert np.isfinite(std.labels).any()
+
+
+@pytest.fixture(scope="module")
+def rt_mme_setup(tmp_path_factory):
+    """Two-model MME fixture: per-model dated forecast caches, a shared
+    obs series, and a DISTINCT persisted winner per model (the blend must
+    actually mix two different networks)."""
+    root = tmp_path_factory.mktemp("rtmme")
+    cfg = PipelineConfig(name="rt_mme_test", models=("GEFS", "ECMWF"),
+                         obs="IMD", domain=Domain(67, 98, 7, 38),
+                         years=(2003, 2012), week="wk3-4",
+                         out_dir="Realtime MME Test/",
+                         tuning=TuningGrid(), n_bootstraps=2, epochs=2)
+    rng = np.random.default_rng(1)
+    for model in cfg.models:
+        fdir = os.path.join(str(root), "cache", cfg.out_dir,
+                            f"{model}_IMD")
+        _write_nc(os.path.join(fdir, _fc_name(15, "Jun", key=model)),
+                  "prcp", ("S", "M", "Y", "X"),
+                  {"S": np.array([_days("2023-06-15")]),
+                   "M": np.arange(1.0, 5.0), "Y": LATS, "X": LONS},
+                  rng.gamma(2, 2, size=(1, 4, 16, 16)))
+        _write_nc(os.path.join(fdir, "IMD_wk3-4.nc"), "prcp",
+                  ("T", "Y", "X"),
+                  {"T": np.array([_days("2023-07-07")]),
+                   "Y": LATS, "X": LONS},
+                  rng.gamma(2, 2, size=(1, 16, 16)))
+        ucfg = UNetConfig(filters=1, n_blocks=2)
+        m = UNet(ucfg)
+        variables = m.init(
+            jax.random.key({"GEFS": 11, "ECMWF": 23}[model]),
+            np.zeros((1, 16, 16, 1), np.float32), train=False)
+        res = SweepResult(best_val_loss=np.array([0.9, 1.0]),
+                          best_trial=[Trial(0, 16, 1e-3, (3, 3), 1, 2)] * 2,
+                          predictions=np.zeros((2, 2, 16, 16, 3)),
+                          val_loss_table=np.array([[0.9], [1.0]]),
+                          winner_variables=[variables, variables],
+                          winner_configs=[ucfg, ucfg])
+        mdir = os.path.join(str(root), "models", cfg.out_dir,
+                            f"{model}_IMD", cfg.week)
+        checkpoint.save_sweep_winners(res, mdir, cfg.week,
+                                      input_shape=(1, 16, 16, 1))
+    return root, cfg
+
+
+@pytest.mark.slow
+def test_run_realtime_forecast_mme_blend(rt_mme_setup):
+    """MME operational realtime: per-model winner predictions blended
+    with renormalization (training.py:344-350), outputs under the
+    joined-models directory."""
+    root, cfg = rt_mme_setup
+    res, paths = run_realtime_forecast(
+        cfg, ["2023-06-15"], out_root=str(root),
+        download=False, cache_dir=os.path.join(str(root), "cache"),
+        hindcast_source="synthetic", synthetic_step=2.0,
+        log=lambda *a: None)
+    assert res.probs.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(res.probs.sum(-1), 1.0, atol=1e-5)
+    assert "GEFS_ECMWF_IMD" in paths["probs"]
+    # the blend equals renormalize(mean(per-model winner predictions))
+    from s2s_ismr_tpu.pipelines.realtime import (fetch_realtime_set,
+                                                 load_winner_for_realtime)
+    per_model = []
+    for m in cfg.models:
+        b = fetch_realtime_set(cfg, ["2023-06-15"], download=False,
+                               cache_dir=os.path.join(str(root), "cache"),
+                               log=lambda *a: None, model=m)
+        mdir = os.path.join(str(root), "models", cfg.out_dir,
+                            f"{m}_IMD", cfg.week)
+        net, variables = load_winner_for_realtime(mdir, cfg.week)
+        x = b.fillna(0.0).predictor_images("mean")
+        per_model.append(np.asarray(net.apply(variables, x, train=False)))
+    assert not np.allclose(per_model[0], per_model[1])   # distinct nets
+    mean = np.mean(np.stack(per_model), 0)
+    np.testing.assert_allclose(res.probs,
+                               mean / mean.sum(-1, keepdims=True),
+                               atol=1e-6)
+
+
+def test_run_realtime_eval_mme(rt_mme_setup):
+    """Held-out MME eval: blended winner replay over the final hindcast
+    year, written under the joined-models directory."""
+    from s2s_ismr_tpu.pipelines.realtime import run_realtime_eval
+    root, cfg = rt_mme_setup
+    res, paths = run_realtime_eval(cfg, out_root=str(root),
+                                   source="synthetic", synthetic_step=2.0,
+                                   log=lambda *a: None)
+    np.testing.assert_allclose(res.probs.sum(-1), 1.0, atol=1e-5)
+    assert res.rpss_map is not None
+    assert "GEFS_ECMWF_IMD" in paths["probs"]
