@@ -90,16 +90,47 @@ def open_netcdf_da(path, var_names=("prcp", "temp", "pr", "aprod")):
 
 
 # ------------------------------------------------------------------ fetching
+# per-path in-process locks: the suite's compile-ahead thread prefetches
+# the RUNNING config's bundles concurrently with the foreground load, so
+# the same cache file can be requested twice at once — the lock makes the
+# second requester wait and reuse the first download instead of racing it
+import threading as _threading
+
+_fetch_locks: dict = {}
+_fetched_this_process: set = set()
+_fetch_locks_guard = _threading.Lock()
+
+
+def _path_lock(fname):
+    with _fetch_locks_guard:
+        return _fetch_locks.setdefault(os.path.abspath(fname),
+                                       _threading.Lock())
+
+
 def fetch(url, fname, download=True, cookies="cookies.txt", log=print):
     os.makedirs(os.path.dirname(fname) or ".", exist_ok=True)
-    if download:
-        log(f"Downloading: {url.replace('data.nc', '')}")
-        rc = subprocess.call(["curl", "-b", cookies, "-k", url, "-o", fname])
-        if rc != 0:
-            raise RuntimeError(f"curl failed (rc={rc}) for {url}")
-    if not os.path.exists(fname):
-        raise FileNotFoundError(
-            f"{fname} not cached; run with download=True first")
+    with _path_lock(fname):
+        # download=True refreshes stale caches ACROSS runs (operational
+        # obs grow weekly and the cache names carry no revision), but at
+        # most once per process — the second same-file requester (e.g.
+        # the prefetch thread racing the foreground load) reuses it
+        fresh = os.path.abspath(fname) in _fetched_this_process
+        if download and not fresh:
+            log(f"Downloading: {url.replace('data.nc', '')}")
+            # curl to a temp path + atomic rename: a reader (or a kill)
+            # must never see a partially-written cache file
+            tmp = fname + ".part"
+            rc = subprocess.call(["curl", "-b", cookies, "-k", url,
+                                  "-o", tmp])
+            if rc != 0 or not os.path.exists(tmp):
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise RuntimeError(f"curl failed (rc={rc}) for {url}")
+            os.replace(tmp, fname)
+            _fetched_this_process.add(os.path.abspath(fname))
+        if not os.path.exists(fname):
+            raise FileNotFoundError(
+                f"{fname} not cached; run with download=True first")
     return fname
 
 

@@ -308,17 +308,18 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
     hind = load_bundles(cfg, hindcast_source, seed=seed,
                         synthetic_step=synthetic_step, download=download)
     rts, hbs, probs_per_model = {}, {}, []
-    have_obs = None
+    have_obs_per_model = []
     for m in model_names:
         rt = fetch_realtime_set(cfg, dates, download=download,
                                 cache_dir=cache_dir, cookies=cookies,
                                 log=log, model=m)
-        if have_obs is None:
-            # which forecast rows have verifying obs — from the first
-            # model's fetch (all models verify against the same obs
-            # source), computed BEFORE padding (the ECMWF-full pad
-            # zero-fills y, which would count as "observed")
-            have_obs = np.isfinite(rt.y).any(axis=(1, 2))
+        # which forecast rows have verifying obs — computed per model
+        # BEFORE padding (the ECMWF-full pad zero-fills y, which would
+        # count as "observed"). MME valid times differ per model lead
+        # (e.g. IITM (16,29) vs ECMWF (16,30)): a date is verified only
+        # if EVERY model's window is observed — the blended score uses
+        # the cross-model-mean obs, which is NaN if any model's is
+        have_obs_per_model.append(np.isfinite(rt.y).any(axis=(1, 2)))
         rt = _apply_pad(cfg, rt)
         hb = _apply_pad(cfg, hind[m])
         if cfg.standardize:
@@ -326,11 +327,14 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
         rts[m], hbs[m] = rt, hb
         model_m, vars_m = winners[m]
         x_m = rt.fillna(0.0).predictor_images(cfg.predictor)
+        if not probs_per_model:
+            x_imgs = x_m                 # first model's images (GradCAM)
         probs_per_model.append(
             np.asarray(model_m.apply(vars_m,
                                      jnp.asarray(x_m, jnp.float32),
                                      train=False)))
 
+    have_obs = np.logical_and.reduce(have_obs_per_model)
     first = model_names[0]
     rt0, hb0 = rts[first], hbs[first]
     if cfg.is_mme:
@@ -342,7 +346,6 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
         probs = probs_per_model[0]
         hind_y, rt_y = hb0.y, rt0.y
     model, variables = winners[first]
-    x_imgs = rt0.fillna(0.0).predictor_images(cfg.predictor)
     res = evaluate_realtime(
         model, variables, x_imgs, hind_y, hb0.weeks, rt0.weeks,
         obs=rt_y if have_obs.any() else None, obs_t_mask=have_obs,

@@ -138,6 +138,8 @@ def main(argv=None):
             cfg = replace(cfg, output=args.output)
         if args.predictor:
             cfg = replace(cfg, predictor=args.predictor)
+        if args.standardize:
+            cfg = replace(cfg, standardize=True)
         if args.date:
             from .pipelines.realtime import run_realtime_forecast
             _, paths = run_realtime_forecast(
@@ -239,13 +241,11 @@ def main(argv=None):
             os.replace(tmp, spath)    # atomic: a kill can't truncate it
             return summary
 
-        # Compile-ahead pipeline: while config N trains on-device (host
-        # idle waiting on the chip), a single background thread traces +
-        # remote-compiles config N+1's bucket programs into the sweep's
-        # process memo — the 20-500 s/program compiles leave the session's
-        # critical path. The future is awaited before N+1 runs so the
-        # memo race (run and prefetch compiling the same program twice)
-        # cannot happen.
+        # Compile-ahead pipeline: a single background thread traces +
+        # remote-compiles pending configs' bucket programs into the
+        # sweep's process memo (config 0's while its own data/ELR stages
+        # run; config N+1's while N trains on-device), moving the
+        # 20-500 s/program compiles off the session's critical path.
         from concurrent.futures import ThreadPoolExecutor
         from .pipelines.tune import prefetch_nn_programs
 

@@ -285,15 +285,6 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     if is_aval and not compile_only:
         raise TypeError("ShapeDtypeStruct inputs are only valid with "
                         "compile_only=True")
-    if is_aval and mesh is not None:
-        # the mesh path reshapes/pads lane tensors; materialize zeros
-        # there (multi-device backends in this repo are virtual CPU
-        # meshes, where 'device' memory is host memory)
-        x = jnp.zeros(x.shape, x.dtype) \
-            if isinstance(x, jax.ShapeDtypeStruct) else x
-        y_oh_folds = jnp.zeros(y_oh_folds.shape, y_oh_folds.dtype) \
-            if isinstance(y_oh_folds, jax.ShapeDtypeStruct) else y_oh_folds
-        is_aval = False
     if not is_aval:
         x = jnp.asarray(x)
         y_oh_folds = jnp.asarray(y_oh_folds)
@@ -555,21 +546,37 @@ def _mesh_lanes(model, settings, mesh, x, y_oh_folds, train_masks,
                                        key, settings)
         return best, vloss, jnp.sum(jnp.isfinite(hist), dtype=jnp.int32)
 
-    y_l = jnp.repeat(y_oh_folds, R, axis=0)
-    tm_l = jnp.repeat(train_masks, R, axis=0)
-    vm_l = jnp.repeat(val_masks, R, axis=0)
+    def rep0(a):
+        # aval-aware lane repeat + pad: compile_only callers pass
+        # ShapeDtypeStructs for the big tensors (x, y) so a background
+        # prefetch holds no device buffers — sharded avals lower to the
+        # identical program (jit.lower accepts sharding-annotated avals)
+        if isinstance(a, jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct((L + pad,) + tuple(a.shape[1:]),
+                                        a.dtype,
+                                        sharding=pmesh.lane_sharding(mesh))
+        out = jnp.repeat(a, R, axis=0)
+        if pad:
+            out = jnp.concatenate(
+                [out, jnp.broadcast_to(out[:1], (pad,) + out.shape[1:])])
+        return jax.device_put(out, pmesh.lane_sharding(mesh))
+
+    y_l = rep0(y_oh_folds)
+    tm_l = rep0(train_masks)
+    vm_l = rep0(val_masks)
     lr_l = jnp.tile(lrs, F)
     key_l = keys.reshape((L,) + keys.shape[2:])
     if pad:
         tile0 = lambda a: jnp.concatenate(
             [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
-        y_l, tm_l, vm_l, lr_l, key_l = map(tile0,
-                                           (y_l, tm_l, vm_l, lr_l, key_l))
-
-    lane_args = pmesh.shard_lanes((y_l, tm_l, vm_l, lr_l, key_l), mesh)
-    x_rep = pmesh.replicate(x, mesh)
+        lr_l, key_l = map(tile0, (lr_l, key_l))
+    lr_l, key_l = pmesh.shard_lanes((lr_l, key_l), mesh)
+    x_rep = (jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                  sharding=pmesh.replicated(mesh))
+             if isinstance(x, jax.ShapeDtypeStruct)
+             else pmesh.replicate(x, mesh))
     fn = pmesh.shard_map_lanes(lane, mesh, n_shared=1)
-    return fn, (x_rep,) + tuple(lane_args)
+    return fn, (x_rep, y_l, tm_l, vm_l, lr_l, key_l)
 
 
 def _unflatten_lanes(out, F, R):
