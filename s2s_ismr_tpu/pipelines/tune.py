@@ -30,6 +30,7 @@ from ..io import write_netcdf
 from ..ops import elr as elr_ops
 from ..ops import metrics, terciles
 from ..train import splits
+from ..train import sweep as sweep_mod
 from ..train.sweep import SweepResult, TuningGrid, run_unet_sweep
 from .configs import PipelineConfig
 
@@ -618,7 +619,10 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
         # load mode never trains, so branch overlap buys nothing
         log("########### ELR ###########")
         with trace(profile_dir), timer.stage("elr"):
-            elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
+            # hold compile priority: the suite's background prefetch must
+            # not crowd the ELR jits off the serialized compile server
+            with sweep_mod.foreground_compile_priority():
+                elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
         _save_elr(elr_res)
         log("########### Neural Network (load) ###########")
         with timer.stage("nn"):
@@ -632,13 +636,19 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                 nn_fut = ex.submit(run_nn_branch, cfg, bundles, log,
                                    timer, mesh)
                 with timer.stage("elr"):
-                    elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
+                    # hold compile priority: the suite's background prefetch must
+                    # not crowd the ELR jits off the serialized compile server
+                    with sweep_mod.foreground_compile_priority():
+                        elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
                 _save_elr(elr_res)      # NN may still fail; ELR is on disk
                 nn_res = nn_fut.result()
     else:
         log("########### ELR ###########")
         with trace(profile_dir), timer.stage("elr"):
-            elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
+            # hold compile priority: the suite's background prefetch must
+            # not crowd the ELR jits off the serialized compile server
+            with sweep_mod.foreground_compile_priority():
+                elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
         _save_elr(elr_res)
         log("########### Neural Network ###########")
         with trace(profile_dir and os.path.join(profile_dir, "nn")), \

@@ -175,13 +175,46 @@ _program_memo = _ProgramMemo()
 
 # Foreground-compile gate: the remote compile server serializes requests,
 # so a background prefetch (run_unet_sweep(compile_only=True) from the
-# suite runner's thread) must yield to a real sweep's critical-path
-# compile phase — otherwise the device idles at session start while the
-# server interleaves next-config programs. Set = no foreground compile in
-# flight. Best-effort (a race only costs one interleaved compile).
+# suite runner's thread) must yield to critical-path compiles — both a
+# real sweep's compile phase AND the pipeline's ELR-branch jits (config
+# 0's ELR stage measured 374 s vs ~40 s when its own prefetch crowded
+# the compile server). Set = no foreground compile in flight. Depth-
+# counted so nested holders (pipeline stage + sweep phase) compose.
+# Best-effort (a race only costs one interleaved compile).
 import threading as _threading
 _fg_compile_idle = _threading.Event()
 _fg_compile_idle.set()
+_fg_depth = 0
+_fg_depth_lock = _threading.Lock()
+
+
+def _fg_enter():
+    global _fg_depth
+    with _fg_depth_lock:
+        _fg_depth += 1
+        _fg_compile_idle.clear()
+
+
+def _fg_exit():
+    global _fg_depth
+    with _fg_depth_lock:
+        _fg_depth = max(0, _fg_depth - 1)
+        if _fg_depth == 0:
+            _fg_compile_idle.set()
+
+
+class foreground_compile_priority:
+    """Context manager: background prefetch compiles defer while held
+    (the pipeline wraps its ELR stage in this; run_unet_sweep holds it
+    through its own foreground compile phase)."""
+
+    def __enter__(self):
+        _fg_enter()
+        return self
+
+    def __exit__(self, *exc):
+        _fg_exit()
+        return False
 
 
 def _avals_key(tree) -> tuple:
@@ -405,13 +438,13 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         return c
 
     if not compile_only:
-        _fg_compile_idle.clear()
+        _fg_enter()
     try:
         with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as ex:
             compiled = list(ex.map(_compile_job, jobs))
     finally:
         if not compile_only:
-            _fg_compile_idle.set()
+            _fg_exit()
     t_compile = _time.perf_counter() - t0
     n_cached = sum(1 for j in jobs if j[5])
 

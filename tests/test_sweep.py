@@ -187,3 +187,26 @@ def test_program_memo_inflight_dedup():
     # None keys (model_factory sweeps) bypass the memo entirely
     assert memo.begin(None) == (None, None)
     memo.finish(None, "x")
+
+
+def test_foreground_compile_priority_depth():
+    """The foreground-priority gate is depth-counted: nested holders
+    (pipeline ELR stage + sweep compile phase) keep prefetch compiles
+    deferred until the LAST holder exits."""
+    from s2s_ismr_tpu.train import sweep as sweep_mod
+
+    ev = sweep_mod._fg_compile_idle
+    assert ev.is_set()
+    with sweep_mod.foreground_compile_priority():
+        assert not ev.is_set()
+        with sweep_mod.foreground_compile_priority():
+            assert not ev.is_set()
+        assert not ev.is_set()        # inner exit: outer still holds
+    assert ev.is_set()
+    # exceptions release the hold
+    try:
+        with sweep_mod.foreground_compile_priority():
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert ev.is_set()
