@@ -313,6 +313,62 @@ def get_gefs_climatology(domain, lead, download=True, cache_dir="download",
     return s, vals
 
 
+def get_index_series(key, years=None, download=True, cache_dir="download",
+                     cookies="cookies.txt", log=print) -> Field:
+    """Fetch one climate-index series (RMM1/RMM2/NINO34) as a (T,) Field
+    — the acquisition layer for the MJO/ENSO diagnostics of the missing
+    Realtime_fcast_MME.ipynb (README.md:22). Cached under
+    download/indices/ and honoring download=False like every other
+    gateway fetch."""
+    url = iridl.index_url(key, years)
+    tag = f"_{years[0]}-{years[1]}" if years else ""
+    fname = os.path.join(cache_dir, "indices", f"{key}{tag}.nc")
+    fetch(url, fname, download, cookies, log)
+    return open_netcdf_da(fname, var_names=(key, key.lower(), "anom",
+                                            "amplitude", "index"))
+
+
+def _index_at_dates(field: Field, dates, max_gap_days: float) -> np.ndarray:
+    """Sample a (T,) index series at the given dates: nearest stamp
+    within max_gap_days, NaN otherwise (a missing index must not
+    fabricate a composite group)."""
+    t = timeutils.to_datetime64(field.coords["T"])
+    want = timeutils.to_datetime64(np.asarray(dates, "datetime64[ns]"))
+    out = np.full(len(want), np.nan, np.float64)
+    if len(t) == 0:
+        return out
+    vals = np.asarray(field.values, np.float64).reshape(len(t), -1)[:, 0]
+    for i, w in enumerate(want):
+        d = np.abs((t - w) / np.timedelta64(1, "D")).astype(float)
+        j = int(np.argmin(d))
+        if d[j] <= max_gap_days:
+            out[i] = vals[j]
+    return out
+
+
+def get_rmm_index(dates, download=True, cache_dir="download",
+                  cookies="cookies.txt", log=print,
+                  max_gap_days=3.0) -> np.ndarray:
+    """(N, 2) BOM RMM1/RMM2 at the given init dates (daily series;
+    nearest stamp within max_gap_days, else NaN)."""
+    cols = []
+    for key in ("RMM1", "RMM2"):
+        f = get_index_series(key, download=download, cache_dir=cache_dir,
+                             cookies=cookies, log=log)
+        cols.append(_index_at_dates(f, dates, max_gap_days))
+    return np.stack(cols, axis=1)
+
+
+def get_nino34(dates, download=True, cache_dir="download",
+               cookies="cookies.txt", log=print,
+               max_gap_days=45.0) -> np.ndarray:
+    """(N,) Nino3.4 SST anomalies at the given dates (monthly series;
+    a date maps to its month's stamp — nearest within max_gap_days)."""
+    f = get_index_series("NINO34", download=download, cache_dir=cache_dir,
+                         cookies=cookies, log=log)
+    return _index_at_dates(f, dates, max_gap_days)
+
+
 def external_clim_for_times(t, lead, s_dates, clim):
     """Build a per-sample (T, Y, X) climatology by matching each sample's
     start date S = T - mean(lead) to the climatology's S month/day

@@ -64,6 +64,16 @@ OBS_PATHS = {
             "SOURCES/.NOAA/.NCEP/.CPC/.temperature/.daily/.tmax/add/2/div"),
 }
 
+# climate-index series for the MJO/ENSO diagnostics of the reference's
+# missing Realtime_fcast_MME.ipynb (README.md:22): the BOM realtime
+# multivariate MJO index (Wheeler & Hendon 2004 RMM1/RMM2, daily) and
+# Nino3.4 SST anomalies (Kaplan extended, monthly), both hosted by IRIDL
+INDEX_PATHS = {
+    "RMM1": "SOURCES/.BoM/.MJO/.RMM/.RMM1",
+    "RMM2": "SOURCES/.BoM/.MJO/.RMM/.RMM2",
+    "NINO34": "SOURCES/.Indices/.nino/.EXTENDED/.NINO34",
+}
+
 IITM_MEMBERS = ["IITM1", "IITM2", "IITM3", "IITM4", "IITM5", "IITM6"]
 ECMWF_STREAMS = ["ECMWF_perturbed", "ECMWF_control"]
 SUPPORTED_MODELS = ["GEFS", "IITM", "ECMWF"] + IITM_MEMBERS + ECMWF_STREAMS
@@ -141,6 +151,16 @@ def gefs_climatology_url(domain) -> str:
     return (f"{BASE}SOURCES/.Models/.SubX/.EMC/.GEFSv12_CPC/.hindcast/"
             f".dc0018/.pr/Y/{south}/{north}/RANGE/X/{west}/{east}/RANGE/"
             f"data.nc")
+
+
+def index_url(key, years=None) -> str:
+    """Climate-index series request (RMM1/RMM2/NINO34). years optionally
+    RANGEs T to keep the file small; omitted = full record."""
+    if key not in INDEX_PATHS:
+        raise ValueError(f"unknown index {key!r}; "
+                         f"supported: {sorted(INDEX_PATHS)}")
+    sel = f"T/({years[0]})/({years[1]})/RANGE/" if years else ""
+    return BASE + INDEX_PATHS[key] + "/" + sel + "data.nc"
 
 
 def hindcast_url(model, years, lead, season, domain, regrid=None,

@@ -33,6 +33,15 @@ class PipelineConfig:
     regrid: Optional[float] = None           # degrees, None = native grid
     n_bootstraps: int = 10
     out_dir: str = ""                        # 'Common Period/' etc.
+    # results-tree model name: outputs/{out_dir}/{output_name}_{obs}/.
+    # Single-model configs default to the model name; MME configs MUST
+    # name it explicitly — the reference writes blends under MME_IMD /
+    # 2MME_IMD (tune_MME.py:47,92-93,135-137; tune_2MME.py:47,80-81),
+    # which is the filesystem contract Bar_plot.ipynb cell 5 reads
+    # ("MME_IMD"/"2MME_IMD" in its models list). Model *checkpoints*
+    # stay per-member under models/{out_dir}/{member}_{obs} exactly as
+    # the reference keeps per-member Keras files (tune_MME.py:43).
+    output_name: Optional[str] = None
     pad_y_rows: int = 0                      # ECMWF full: 1
     pad_lat_value: Optional[float] = None    # ECMWF full: 40.5
     # native-grid point counts (n_lat, n_lon) for the synthetic source;
@@ -60,6 +69,11 @@ class PipelineConfig:
     @property
     def is_mme(self):
         return len(self.models) > 1
+
+    @property
+    def result_name(self):
+        """Name of the outputs/figures subtree: {result_name}_{obs}."""
+        return self.output_name or "_".join(self.models)
 
     def lead(self, model=None):
         if self.custom_leads and model:
@@ -127,12 +141,12 @@ CONFIGS: Dict[str, PipelineConfig] = {
     "tune_MME": PipelineConfig(
         name="tune_MME", models=("GEFS", "IITM", "ECMWF"), years=(2003, 2018),
         custom_leads={"GEFS": (16, 29), "IITM": (16, 29), "ECMWF": (16, 30)},
-        regrid=1, out_dir="MME/", tuning=_BLOCKS_GRID),
+        regrid=1, out_dir="MME/", output_name="MME", tuning=_BLOCKS_GRID),
     # tune_2MME.py: IITM+ECMWF only
     "tune_2MME": PipelineConfig(
         name="tune_2MME", models=("IITM", "ECMWF"), years=(2003, 2018),
         custom_leads={"IITM": (16, 29), "ECMWF": (16, 30)},
-        regrid=1, out_dir="2MME/", tuning=_BLOCKS_GRID),
+        regrid=1, out_dir="2MME/", output_name="2MME", tuning=_BLOCKS_GRID),
 }
 
 

@@ -116,59 +116,149 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
     return out
 
 
-# Bar_plot.ipynb cell-5 run matrix: which saved outputs to aggregate
-DEFAULT_BARPLOT_RUNS = [
-    {"period_dir": "Common Period/", "model": "ECMWF", "obs": "IMD",
-     "arch": "unet", "week": "wk3-4", "label": "wk3-4"},
-    {"period_dir": "Common Period/", "model": "ECMWF", "obs": "IMD",
-     "arch": "ELR", "week": "wk3-4", "label": "wk3-4"},
-    {"period_dir": "Common Period/", "model": "GEFS", "obs": "IMD",
-     "arch": "unet", "week": "wk2", "label": "wk2"},
-    {"period_dir": "Common Period/", "model": "GEFS", "obs": "IMD",
-     "arch": "ELR", "week": "wk2", "label": "wk2"},
-    {"period_dir": "Common Period/", "model": "IITM", "obs": "IMD",
-     "arch": "unet", "week": "wk3-4", "label": "wk3-4"},
-    {"period_dir": "Common Period/", "model": "IITM", "obs": "IMD",
-     "arch": "ELR", "week": "wk3-4", "label": "wk3-4"},
-]
+# Bar_plot.ipynb cell-5 run matrix: periods x models x leads x archs.
+# The notebook spells the period "Full period" in cell 5 but reads
+# "outputs/Full Period/..." in cells 3/13 — its Windows host is
+# case-insensitive; this framework writes and reads "Full Period".
+BARPLOT_PERIODS = ("Common Period", "Full Period", "MME", "2MME")
+BARPLOT_MODELS = ("IITM", "GEFS", "ECMWF", "MME", "2MME")
+BARPLOT_WEEKS = {"wk1": "week 1", "wk2": "week 2", "wk3-4": "week 3-4"}
+LEAD_ORDER = ("week 1", "week 2", "week 3-4")
+# cell 9/10/19 model display order; MME rows render as "3MME"
+MME_HUE_ORDER = ("ECMWF", "IITM", "GEFS", "2MME", "3MME")
+# cell 16 per-lead y-limits for the region facets
+REGION_YLIMS = {"week 1": (-0.15, 0.5), "week 2": (-0.15, 0.3),
+                "week 3-4": (-0.15, 0.15)}
+
+
+def default_barplot_runs(obs="IMD", periods=None, weeks=None,
+                         archs=("ELR", "unet")) -> list:
+    """The full Bar_plot.ipynb cell-5 probe matrix. Masking mirrors
+    cells 3/5: Common/MME/2MME rows are masked by the Common-Period
+    wk3-4 ELR map of the row's model (ECMWF standing in for MME/2MME);
+    Full-Period rows by the Full-Period map — and Full-Period MME rows
+    don't exist (the notebook KeyErrors its mask lookup and skips)."""
+    runs = []
+    for period in periods or BARPLOT_PERIODS:
+        for model in BARPLOT_MODELS:
+            if period == "Full Period" and model in ("MME", "2MME"):
+                continue
+            mask_model = "ECMWF" if model in ("MME", "2MME") else model
+            mask_period = (period if period == "Full Period"
+                           else "Common Period")
+            for week, label in (weeks or BARPLOT_WEEKS).items():
+                for arch in archs:
+                    runs.append({
+                        "period_dir": period + "/", "period": period,
+                        "model": model, "obs": obs, "arch": arch,
+                        "week": week, "label": label,
+                        "mask_period_dir": mask_period + "/",
+                        "mask_model": mask_model, "mask_week": "wk3-4"})
+    return runs
+
+
+# kept for back-compat with round-2 callers; superseded by
+# default_barplot_runs()
+DEFAULT_BARPLOT_RUNS = default_barplot_runs(
+    periods=("Common Period",), archs=("ELR", "unet"))
+
+
+def _region_figures(out_root, shapefile, region_names, table_runs, figdir,
+                    paths, log):
+    """Per-region facets (Bar_plot.ipynb cells 12-19): Full-Period
+    single-model facet per lead (cell 16) + Common+MME facet (cell 19)."""
+    rt = analysis.region_rpss(out_root, shapefile, table_runs,
+                              region_names=region_names, log=log)
+    paths["by_region"] = analysis.rpss_boxplot(
+        rt, os.path.join(figdir, "rpss_by_region.png"),
+        by="region", hue="arch", ylim=(-0.2, 0.5))
+    for lead in LEAD_ORDER:
+        tag = lead.replace(" ", "_")
+        fp = rt.subset(period="Full Period", lead=lead,
+                       model=("ECMWF", "IITM", "GEFS"))
+        if fp.values.size:
+            paths[f"region_full_{tag}"] = analysis.rpss_boxplot(
+                fp, os.path.join(figdir, f"facet_region_bar_{tag}.png"),
+                by="region", hue="arch",
+                ylim=REGION_YLIMS[lead], hue_order=("unet", "ELR"))
+        mm = rt.subset(period=("Common Period", "MME", "2MME"), lead=lead)
+        if mm.values.size:
+            paths[f"region_mme_{tag}"] = analysis.rpss_boxplot(
+                mm, os.path.join(figdir, f"MME_region_facet_{tag}.png"),
+                by="region", hue="model", ylim=(-0.2, 0.5),
+                hue_order=MME_HUE_ORDER,
+                rename={"model": {"MME": "3MME"}})
 
 
 def run_barplot(out_root=".", runs: Optional[list] = None,
                 shapefile: Optional[str] = None,
                 region_names: Optional[Sequence[str]] = None,
-                ylim=(-0.2, 0.5), log=print) -> Dict[str, str]:
-    """Aggregate saved RPSS netcdfs into boxplots (skips absent runs)."""
-    runs = runs if runs is not None else DEFAULT_BARPLOT_RUNS
-    present = []
+                ylim=(-0.2, 0.5), log=print) -> Dict[str, object]:
+    """Aggregate saved RPSS netcdfs into the Bar_plot.ipynb figure set.
+
+    Probes the full cell-5 matrix (Common/Full/MME/2MME x models x
+    wk1/wk2/wk3-4 x ELR/unet) by default; absent artifacts are skipped
+    AND reported in the returned dict under 'skipped' (the notebook
+    prints-and-continues, which after a full `run suite` silently drops
+    half the matrix — here the report makes coverage visible).
+
+    Emits: by_model/by_lead summaries, Full-Period per-arch plots
+    (cell 7, ylim -0.2..0.5), MME per-arch plots (cell 9), the
+    MME-compare wk3-4 boxplot (cell 10, ylim -0.2..0.2), and — given a
+    subdivision shapefile — per-region facets (cells 16/19)."""
+    runs = runs if runs is not None else default_barplot_runs()
+    present, skipped = [], []
     for r in runs:
-        p = os.path.join(out_root, "outputs", r["period_dir"],
-                         f"{r['model']}_{r['obs']}",
-                         f"{r['arch']}_rpss_test_{r['week']}.nc")
+        p = analysis.rpss_path(out_root, r["period_dir"], r["model"],
+                               r["obs"], r["arch"], r["week"])
         (present.append(r) if os.path.exists(p)
-         else log(f"[barplot] skipping missing {p}"))
+         else skipped.append(os.path.relpath(p, out_root)))
     if not present:
         raise FileNotFoundError(
             f"no rpss outputs found under {out_root}/outputs — run tune "
             f"pipelines first")
     figdir = os.path.join(out_root, "figures", "barplots")
-    paths = {}
-    table = analysis.rpss_records(present, out_root)
+    paths: Dict[str, object] = {}
+    table = analysis.rpss_records(present, out_root, log=log)
     paths["by_model"] = analysis.rpss_boxplot(
         table, os.path.join(figdir, "rpss_by_model.png"),
         by="model", hue="arch", ylim=ylim)
     paths["by_lead"] = analysis.rpss_boxplot(
         table, os.path.join(figdir, "rpss_by_lead.png"),
-        by="lead", hue="arch", ylim=ylim)
+        by="lead", hue="arch", ylim=ylim, order=LEAD_ORDER)
+
+    # cell 7: Full-Period per-arch, models side by side per lead
+    for arch in ("ELR", "unet"):
+        sub = table.subset(period="Full Period", arch=arch)
+        if sub.values.size:
+            paths[f"full_period_{arch}"] = analysis.rpss_boxplot(
+                sub, os.path.join(figdir, f"Full_period_{arch}_plots.png"),
+                by="lead", hue="model", ylim=(-0.2, 0.5), order=LEAD_ORDER)
+    # cells 9/10: Common+MME+2MME — the multi-model-ensemble story
+    mme_scope = table.subset(period=("Common Period", "MME", "2MME"))
+    for arch in ("ELR", "unet"):
+        sub = mme_scope.subset(arch=arch)
+        if sub.values.size and set(sub.period) & {"MME", "2MME"}:
+            paths[f"mme_{arch}"] = analysis.rpss_boxplot(
+                sub, os.path.join(figdir, f"MME_{arch}_plots.png"),
+                by="lead", hue="model", ylim=(-0.2, 0.5), order=LEAD_ORDER,
+                hue_order=MME_HUE_ORDER, rename={"model": {"MME": "3MME"}})
+    cmp_ = mme_scope.subset(lead="week 3-4")
+    if cmp_.values.size and set(cmp_.period) & {"MME", "2MME"}:
+        # cell 10: the paper's headline MME-vs-single-model comparison
+        paths["mme_compare"] = analysis.rpss_boxplot(
+            cmp_, os.path.join(figdir, "MME_RPSS_wk3-4.png"),
+            by="arch", hue="model", ylim=(-0.2, 0.2),
+            hue_order=MME_HUE_ORDER,
+            rename={"model": {"MME": "3MME"},
+                    "arch": {"ELR": "ELR", "unet": "UNET"}})
     if shapefile:
-        f0 = analysis.load_rpss(out_root, present[0]["period_dir"],
-                                present[0]["model"], present[0]["obs"],
-                                present[0]["arch"], present[0]["week"])
-        rt = analysis.region_rpss(out_root, shapefile, present,
-                                  f0.coords["Y"], f0.coords["X"],
-                                  region_names)
-        paths["by_region"] = analysis.rpss_boxplot(
-            rt, os.path.join(figdir, "rpss_by_region.png"),
-            by="region", hue="arch", ylim=ylim)
-    summary = {k: v for k, v in paths.items()}
-    log(f"[barplot] {json.dumps(summary)}")
+        _region_figures(out_root, shapefile, region_names, present,
+                        figdir, paths, log)
+    paths["skipped"] = skipped
+    n_run = len(present)
+    log(f"[barplot] aggregated {n_run}/{len(runs)} matrix rows; "
+        f"{len(skipped)} absent"
+        + (f" (first: {skipped[0]})" if skipped else ""))
+    log(f"[barplot] {json.dumps({k: v for k, v in paths.items()})}")
     return paths

@@ -30,22 +30,27 @@ from ..train import checkpoint
 # ---------------------------------------------------- MJO / ENSO machinery
 def mjo_phase(rmm1, rmm2, active_threshold=1.0):
     """Standard WH04 8-phase MJO classification from the RMM index.
-    Returns (phase 1..8 int array, active bool array)."""
+    Returns (phase 1..8 int array — 0 where the index is missing,
+    active bool array — False there)."""
     rmm1 = np.asarray(rmm1, float)
     rmm2 = np.asarray(rmm2, float)
-    amp = np.hypot(rmm1, rmm2)
-    ang = np.arctan2(rmm2, rmm1)          # [-pi, pi), 0 = +RMM1 axis
+    finite = np.isfinite(rmm1) & np.isfinite(rmm2)
+    amp = np.where(finite, np.hypot(rmm1, rmm2), np.nan)
+    ang = np.arctan2(np.where(finite, rmm2, 0.0),
+                     np.where(finite, rmm1, 1.0))  # [-pi,pi), 0=+RMM1 axis
     # phase 1 starts at 180 deg and advances clockwise through the WH04 wheel
     phase = (np.floor((ang + np.pi) / (np.pi / 4)).astype(int) % 8) + 1
-    return phase, amp >= active_threshold
+    return np.where(finite, phase, 0), finite & (amp >= active_threshold)
 
 
 def enso_state(nino34_anom, threshold=0.5):
-    """'elnino' / 'neutral' / 'lanina' per sample from Nino3.4 anomalies."""
+    """'elnino' / 'neutral' / 'lanina' per sample from Nino3.4 anomalies;
+    'unknown' where the index is missing (never fabricate a group)."""
     a = np.asarray(nino34_anom, float)
     out = np.full(a.shape, "neutral", dtype=object)
     out[a >= threshold] = "elnino"
     out[a <= -threshold] = "lanina"
+    out[~np.isfinite(a)] = "unknown"
     return out
 
 
@@ -133,10 +138,56 @@ def evaluate_realtime(model, variables, x_images, hindcast_obs,
     if rmm is not None:
         phase, active = mjo_phase(rmm[:, 0], rmm[:, 1])
         lab = np.where(active, phase.astype(str), "inactive")
+        lab = np.where(phase == 0, "unknown", lab)   # missing index rows
         res.mjo_composites = composite_by(above, lab)
     if nino34 is not None:
         res.enso_composites = composite_by(above, enso_state(nino34))
     return res
+
+
+def fetch_indices_for_dates(dates, download=True, cache_dir="download",
+                            cookies="cookies.txt", log=print):
+    """Operational RMM + Nino3.4 acquisition for a set of init dates
+    (IRIDL BOM RMM daily / Kaplan Nino3.4 monthly; data/iridl.py
+    INDEX_PATHS). Returns (rmm (N,2) | None, nino34 (N,) | None) — a
+    failed fetch degrades to None with a log line rather than failing
+    the forecast run (composites are a diagnostic, not the product)."""
+    from ..data import gateway
+    rmm = nino34 = None
+    try:
+        rmm = gateway.get_rmm_index(dates, download=download,
+                                    cache_dir=cache_dir, cookies=cookies,
+                                    log=log)
+    except Exception as e:
+        log(f"[realtime] RMM index unavailable "
+            f"({type(e).__name__}: {e}); MJO composites skipped")
+    try:
+        nino34 = gateway.get_nino34(dates, download=download,
+                                    cache_dir=cache_dir, cookies=cookies,
+                                    log=log)
+    except Exception as e:
+        log(f"[realtime] Nino3.4 index unavailable "
+            f"({type(e).__name__}: {e}); ENSO composites skipped")
+    return rmm, nino34
+
+
+def write_composites(res: RealtimeResult, out_dir, coords, week,
+                     tag=None) -> Dict[str, str]:
+    """Persist MJO/ENSO composite maps as mjo_*/enso_* netcdfs next to
+    the other realtime outputs (one (Y, X) map per group label)."""
+    from ..field import Field
+    from ..io import write_netcdf
+    import os
+    paths = {}
+    mid = f"{tag}_" if tag else ""
+    for kind, comps in (("mjo", res.mjo_composites),
+                        ("enso", res.enso_composites)):
+        for label, m in comps.items():
+            key = f"{kind}_{label}"
+            paths[key] = write_netcdf(
+                Field(np.asarray(m), ("Y", "X"), coords, "p_above"),
+                os.path.join(out_dir, f"{key}_{mid}{week}.nc"))
+    return paths
 
 
 def load_winner_for_realtime(models_dir, week, architecture="unet"):
@@ -264,7 +315,8 @@ def _standardize_rt(hb, rt):
 def run_realtime_forecast(cfg, dates, out_root=".", download=True,
                           cache_dir="download", cookies="cookies.txt",
                           rmm=None, nino34=None, hindcast_source="iridl",
-                          seed=0, synthetic_step=None, log=print):
+                          seed=0, synthetic_step=None, log=print,
+                          fetch_indices=True):
     """The full operational pipeline the reference's missing
     Realtime_fcast_MME.ipynb performed (README.md:22): download dated
     realtime forecasts + verifying obs (dataloader.py:338-495), predict
@@ -334,6 +386,14 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
                                      jnp.asarray(x_m, jnp.float32),
                                      train=False)))
 
+    # operational MJO/ENSO composites: auto-acquire the real RMM/Nino3.4
+    # series at the init dates unless the caller supplied them or opted
+    # out (honors --no-download via the same cache discipline)
+    if fetch_indices and rmm is None and nino34 is None:
+        rmm, nino34 = fetch_indices_for_dates(
+            dates, download=download, cache_dir=cache_dir,
+            cookies=cookies, log=log)
+
     have_obs = np.logical_and.reduce(have_obs_per_model)
     first = model_names[0]
     rt0, hb0 = rts[first], hbs[first]
@@ -369,6 +429,7 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
             Field(res.rpss_map[None], ("bootstrap", "Y", "X"), coords,
                   "rpss"),
             os.path.join(out_dir, f"fcst_rpss_{tag}_{cfg.week}.nc"))
+    paths.update(write_composites(res, out_dir, coords, cfg.week, tag=tag))
     log(f"[realtime] operational {model_name} {cfg.week}: "
         f"{len(dates)} init dates, verified {int(have_obs.sum())}; "
         f"outputs: {sorted(paths)}")
@@ -377,7 +438,8 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
 
 def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
                       synthetic_step=None, rmm=None, nino34=None,
-                      log=print):
+                      log=print, fetch_indices=True, download=True,
+                      cache_dir="download", cookies="cookies.txt"):
     """CLI driver: load the tuned winner for `cfg`, evaluate held-out
     'realtime' forecasts, write probability/RPSS/GradCAM netcdfs.
 
@@ -436,6 +498,16 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
             rmm = rng.normal(0, 1.2, size=(int(rt.sum()), 2))
         if nino34 is None:
             nino34 = rng.normal(0, 0.8, size=int(rt.sum()))
+    elif fetch_indices and rmm is None and nino34 is None:
+        # real data: acquire the REAL RMM/Nino3.4 series at each
+        # forecast's init time (valid T minus the mid-lead offset —
+        # _stamp_midlead_time inverted)
+        lead = cfg.lead(first)
+        t_init = (timeutils.to_datetime64(b.t[rt]) - np.timedelta64(
+            int(round((lead[0] + lead[1]) / 2)), "D"))
+        rmm, nino34 = fetch_indices_for_dates(
+            t_init, download=download, cache_dir=cache_dir,
+            cookies=cookies, log=log)
 
     probs = None
     if cfg.is_mme:
@@ -478,6 +550,7 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
             Field(res.rpss_map[None], ("bootstrap", "Y", "X"), coords,
                   "rpss"),
             os.path.join(out_dir, f"rpss_realtime_{cfg.week}.nc"))
+    paths.update(write_composites(res, out_dir, coords, cfg.week))
     log(f"[realtime] {model_name} {cfg.week}: "
         f"{res.probs.shape[0]} forecasts, mean RPSS "
         f"{np.nanmean(res.rpss_map) if res.rpss_map is not None else 'n/a'}; "

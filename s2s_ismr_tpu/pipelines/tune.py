@@ -189,7 +189,8 @@ class NNResult:
     sweeps: Dict[str, SweepResult]
     best_hparams: list
     fixed_winners: Dict[str, tuple] = field(default_factory=dict)
-    # per model: (var_list, val_losses) for cnn/mlp fixed training
+    # per model: (var_list, val_losses, unet_config|None) from fixed
+    # (non-grid) training — cnn/mlp, and unet training_type='train'
 
 
 def _nn_setup(cfg: PipelineConfig, bundles, log):
@@ -242,7 +243,8 @@ def _nn_rpss(filled, names, preds, labels):
 
 
 def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
-                  timer=None, mesh=None) -> NNResult:
+                  timer=None, mesh=None,
+                  training_type="tune") -> NNResult:
     names, filled, first, fm, labels, y_oh, edges_pr = \
         _nn_setup(cfg, bundles, log)
     if cfg.output == "deterministic" and cfg.architecture != "unet":
@@ -283,7 +285,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
                                  f"that yields a divisible grid or pad via "
                                  f"DataBundle.pad_to_grid") from None
         t0 = time.time()
-        if cfg.architecture == "unet":
+        if cfg.architecture == "unet" and training_type == "tune":
             if cfg.output == "deterministic":
                 res = run_unet_sweep(x, y_det_tgt, fm.train, fm.val,
                                      cfg.tuning, epochs=cfg.epochs,
@@ -304,22 +306,40 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
             preds_n = res.predictions
             hparams_by_model[n] = [t.hparams() for t in res.best_trial]
         else:
-            # cnn/mlp: single-configuration training per fold, like the
-            # reference's architecture branch (training.py:53-64) — its
-            # tuning loop only ever rebuilds the U-Net
+            # fixed single-configuration training, vmapped over folds:
+            # the cnn/mlp branch (training.py:53-64 — the reference's
+            # tuning loop only ever rebuilds the U-Net) and
+            # training_type='train' for any architecture
+            # (training.py:119-125: one config — the first grid entry —
+            # no grid, and no EarlyStopping: ModelCheckpoint best-val
+            # weights over all epochs)
             from ..train.sweep import run_fixed_training
-            model = _make_architecture(cfg.architecture, x.shape)
             g = cfg.tuning
+            if cfg.architecture == "unet":
+                model, ucfg = _unet_from_grid(cfg)
+            else:
+                model, ucfg = _make_architecture(cfg.architecture,
+                                                 x.shape), None
             lr, bs = g.learning_rates[0], g.batch_sizes[0]
+            y_tgt = y_det_tgt if cfg.output == "deterministic" else y_oh
             vloss, preds_n, var_list = run_fixed_training(
-                model, x, y_oh, fm.train, fm.val, lr=lr, batch_size=bs,
-                epochs=cfg.epochs, patience=g.patience)
-            fixed_winners[n] = (var_list, vloss)
-            log(f"[nn] model {n}: {cfg.architecture} x {fm.n_folds} folds "
-                f"in {time.time() - t0:.1f}s; val_loss={vloss.round(4)}")
-            hparams_by_model[n] = [
-                {"architecture": cfg.architecture, "lr": lr,
-                 "batch_size": bs}] * fm.n_folds
+                model, x, y_tgt, fm.train, fm.val, lr=lr, batch_size=bs,
+                epochs=cfg.epochs, patience=g.patience,
+                early_exit=(training_type != "train"),
+                output=cfg.output)
+            if cfg.output == "deterministic":
+                preds_n = _deterministic_to_probs(preds_n, filled[n].weeks,
+                                                  edges_pr)
+            fixed_winners[n] = (var_list, vloss, ucfg)
+            log(f"[nn] model {n}: {cfg.architecture} ({training_type}) x "
+                f"{fm.n_folds} folds in {time.time() - t0:.1f}s; "
+                f"val_loss={vloss.round(4)}")
+            hp = {"architecture": cfg.architecture, "lr": lr,
+                  "batch_size": bs}
+            if ucfg is not None:
+                hp.update(ct_kernel=ucfg.ct_kernel, filters=ucfg.filters,
+                          blocks=ucfg.n_blocks)
+            hparams_by_model[n] = [hp] * fm.n_folds
         per_model_preds.append(preds_n)
         if timer is not None:
             if n in sweeps:
@@ -532,6 +552,19 @@ def _make_architecture(arch: str, x_shape):
     raise ValueError(f"unknown architecture {arch!r}")
 
 
+def _unet_from_grid(cfg: PipelineConfig):
+    """The training_type='train' U-Net: a SINGLE configuration — the
+    first tuning-grid entry, standing in for the reference's
+    architecture_params dict (training.py:54-60,119-125; the scripts set
+    architecture_params from the same values their grids lead with)."""
+    from ..models import UNet, UNetConfig
+    from ..train.sweep import enumerate_trials
+    t0 = enumerate_trials(cfg.tuning)[0]
+    ucfg = UNetConfig(filters=t0.filters, n_blocks=t0.n_blocks,
+                      ct_kernel=t0.ct_kernel, output=cfg.output)
+    return UNet(ucfg), ucfg
+
+
 # ------------------------------------------------------------- skill mask
 def skill_mask(nn: NNResult, y_raw: np.ndarray) -> np.ndarray:
     """Reference end-of-run mask (tune_ECMWF_com.py:123-133): pixels whose
@@ -590,8 +623,12 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
             bundles = {n: b.standardize() for n, b in bundles.items()}
     first = bundles[list(bundles)[0]]
 
+    # MME blends write under MME_IMD / 2MME_IMD — the reference's
+    # filesystem contract between tune scripts and Bar_plot.ipynb
+    # (tune_MME.py:47,92-93,135-137); single-model configs keep
+    # {model}_{obs}
     out_dir = os.path.join(out_root, "outputs", cfg.out_dir,
-                           f"{'_'.join(cfg.models)}_{cfg.obs}")
+                           f"{cfg.result_name}_{cfg.obs}")
     paths = {}
 
     # The two branches are independent programs over the same bundles, so
@@ -601,9 +638,9 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     # host-GIL-bound and the remote compile server serializes, see
     # PERF.md), so it is opt-in for multi-core hosts, and disabled when
     # profiling (the jax profiler trace is a global context).
-    if training_type not in ("tune", "load"):
-        raise ValueError(f"training_type must be 'tune' or 'load', "
-                         f"got {training_type!r}")
+    if training_type not in ("tune", "train", "load"):
+        raise ValueError(f"training_type must be 'tune', 'train' or "
+                         f"'load', got {training_type!r}")
     fingerprint = settings_fingerprint(cfg, source, seed, synthetic_step)
 
     def _save_elr(elr_res):
@@ -634,7 +671,7 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
         with ThreadPoolExecutor(max_workers=1) as ex:
             with timer.stage("nn"):      # NN wall; the ELR stage overlaps it
                 nn_fut = ex.submit(run_nn_branch, cfg, bundles, log,
-                                   timer, mesh)
+                                   timer, mesh, training_type)
                 with timer.stage("elr"):
                     # hold compile priority: the suite's background prefetch must
                     # not crowd the ELR jits off the serialized compile server
@@ -653,7 +690,8 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
         log("########### Neural Network ###########")
         with trace(profile_dir and os.path.join(profile_dir, "nn")), \
                 timer.stage("nn"):
-            nn_res = run_nn_branch(cfg, bundles, log, timer=timer, mesh=mesh)
+            nn_res = run_nn_branch(cfg, bundles, log, timer=timer,
+                                   mesh=mesh, training_type=training_type)
     arch = cfg.architecture
 
     # persist per-fold winner models (reference saves then DELETES its
@@ -673,15 +711,17 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                     nn_res.sweeps[n], mdir, cfg.week, architecture=arch,
                     input_shape=(1, *shp, c_in), fingerprint=fingerprint)
             elif n in nn_res.fixed_winners:
-                var_list, vloss = nn_res.fixed_winners[n]
+                var_list, vloss, ucfg = nn_res.fixed_winners[n]
                 g = cfg.tuning
+                hp = {"architecture": arch, "lr": g.learning_rates[0],
+                      "batch_size": g.batch_sizes[0]}
+                if ucfg is not None:
+                    hp.update(ct_kernel=ucfg.ct_kernel,
+                              filters=ucfg.filters, blocks=ucfg.n_blocks)
                 paths[f"winners_{n}"] = checkpoint.save_fixed_winners(
                     var_list, vloss, mdir, cfg.week, architecture=arch,
-                    input_shape=(1, *shp, c_in),
-                    hparams={"architecture": arch,
-                             "lr": g.learning_rates[0],
-                             "batch_size": g.batch_sizes[0]},
-                    fingerprint=fingerprint)
+                    input_shape=(1, *shp, c_in), hparams=hp,
+                    fingerprint=fingerprint, config=ucfg)
     if save_outputs:
         for tag, fld in [("train", nn_res.rpss_train),
                          ("val", nn_res.rpss_val),
@@ -707,7 +747,7 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     if make_plots:
         from ..viz import reliability, maps
         figdir = os.path.join(out_root, "figures", cfg.out_dir,
-                              f"{'_'.join(cfg.models)}_{cfg.obs}")
+                              f"{cfg.result_name}_{cfg.obs}")
         # the reference overlays shapes/ borders on every RPSS map
         # (plots.py:417-420,477-480); resolve the bundled/reference assets
         shapes_dir = maps.default_shapes_dir(out_root)

@@ -37,9 +37,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--folds", type=int, default=None)
     ap.add_argument("--training-type", dest="training_type",
-                    default="tune", choices=["tune", "load"],
-                    help="'tune' runs the grid search; 'load' replays the "
-                         "winner checkpoints persisted by a prior run")
+                    default="tune", choices=["tune", "train", "load"],
+                    help="'tune' runs the grid search; 'train' fits the "
+                         "single first-grid-entry configuration with no "
+                         "grid and no early stopping (training.py:119-125)"
+                         "; 'load' replays the winner checkpoints "
+                         "persisted by a prior run")
     ap.add_argument("--standardize", action="store_true",
                     help="per-pixel standardize x/y over T before splits "
                          "(bootstrap_splits standardize= option)")
@@ -76,6 +79,9 @@ def main(argv=None):
                          "final hindcast year")
     ap.add_argument("--no-download", dest="download", action="store_false",
                     help="realtime/iridl: use cached files only")
+    ap.add_argument("--no-indices", dest="indices", action="store_false",
+                    help="realtime: skip RMM/Nino3.4 index acquisition "
+                         "(MJO/ENSO composites are then omitted)")
     ap.add_argument("--shapefile", default=None,
                     help="barplot: region polygon shapefile for "
                          "per-region RPSS boxplots (Bar_plot.ipynb "
@@ -84,6 +90,11 @@ def main(argv=None):
                     help="barplot: comma-separated region names matching "
                          "--shapefile polygon order (default: .dbf "
                          "attribute names, else region{i})")
+    ap.add_argument("--runs", default=None, metavar="JSON",
+                    help="barplot: path to a JSON list of run dicts "
+                         "(period_dir/model/obs/arch/week[/label/period/"
+                         "mask_*]) overriding the default Bar_plot.ipynb "
+                         "cell-5 matrix")
     args = ap.parse_args(argv)
     if args.source is None:
         # operational realtime fits tercile edges on the hindcast record;
@@ -125,9 +136,17 @@ def main(argv=None):
     if args.config == "barplot":
         from .pipelines.notebooks import run_barplot
         rnames = tuple(args.regions.split(",")) if args.regions else None
-        print(json.dumps(run_barplot(out_root=args.out,
+        runs = None
+        if args.runs:
+            with open(args.runs) as fh:
+                runs = json.load(fh)
+        # logs to stderr: stdout stays machine-readable JSON
+        print(json.dumps(run_barplot(out_root=args.out, runs=runs,
                                      shapefile=args.shapefile,
-                                     region_names=rnames), indent=1))
+                                     region_names=rnames,
+                                     log=lambda m: print(m,
+                                                         file=sys.stderr)),
+                         indent=1))
         return 0
     if args.config == "realtime":
         cfg = get_config(args.from_config)
@@ -145,12 +164,15 @@ def main(argv=None):
             _, paths = run_realtime_forecast(
                 cfg, args.date.split(","), out_root=args.out,
                 download=args.download, hindcast_source=args.source,
-                seed=args.seed, synthetic_step=args.step)
+                seed=args.seed, synthetic_step=args.step,
+                fetch_indices=args.indices)
         else:
             from .pipelines.realtime import run_realtime_eval
             _, paths = run_realtime_eval(cfg, out_root=args.out,
                                          source=args.source, seed=args.seed,
-                                         synthetic_step=args.step)
+                                         synthetic_step=args.step,
+                                         download=args.download,
+                                         fetch_indices=args.indices)
         print(json.dumps(paths, indent=1))
         return 0
 

@@ -67,10 +67,13 @@ def save_sweep_winners(sweep_result, out_dir, week, architecture="unet",
 
 def save_fixed_winners(var_list, val_losses, out_dir, week,
                        architecture, input_shape=None, hparams=None,
-                       fingerprint=None):
+                       fingerprint=None, config=None):
     """Persist per-fold winners of a fixed (non-tuned) training run —
-    the cnn/mlp architecture branch (training.py:53-64)."""
+    the cnn/mlp architecture branch (training.py:53-64) and the U-Net
+    training_type='train' mode (training.py:119-125; config then carries
+    the UNetConfig so 'load' can rebuild it)."""
     os.makedirs(out_dir, exist_ok=True)
+    cfg_dict = dataclasses.asdict(config) if config is not None else None
     manifest = []
     for i, variables in enumerate(var_list):
         fname = f"best_model_{architecture}_{i}_trained.msgpack"
@@ -78,7 +81,7 @@ def save_fixed_winners(var_list, val_losses, out_dir, week,
         manifest.append({
             "fold": i, "file": fname,
             "architecture": architecture,
-            "config": None,
+            "config": cfg_dict,
             "hparams": dict(hparams or {}),
             "val_loss": float(val_losses[i]),
             "input_shape": list(input_shape) if input_shape else None,

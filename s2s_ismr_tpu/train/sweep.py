@@ -625,19 +625,30 @@ def _unflatten_lanes(out, F, R):
 def run_fixed_training(model, x, y_oh_folds, train_masks, val_masks,
                        lr: float = 1e-3, batch_size: int = 16,
                        epochs: int = 100, patience: int = 10,
-                       base_seed: int = 42, early_exit: bool = True):
+                       base_seed: int = 42, early_exit: bool = True,
+                       output: str = "proba"):
     """training_type='train' path (training.py:119-125): one configuration,
     all folds vmapped. Returns (val_loss (F,), predictions (F,T,H,W,3),
-    variables list)."""
+    variables list).
+
+    The reference's 'train' branch fits with ModelCheckpoint only — no
+    EarlyStopping (training.py:119-125 vs the tune branch's :100) — so
+    callers replicating it pass early_exit=False (all epochs run,
+    best-val weights kept). output='deterministic' regresses raw
+    precipitation with NaN-masked MSE like the sweep path."""
     x = jnp.asarray(x)
     settings = TrainSettings(epochs=epochs, batch_size=batch_size,
-                             patience=patience, early_exit=early_exit)
+                             patience=patience, early_exit=early_exit,
+                             val_rows=int(np.asarray(val_masks)
+                                          .sum(1).max()),
+                             loss=("mse" if output == "deterministic"
+                                   else "categorical_crossentropy"))
     F = train_masks.shape[0]
 
     def lane(xv, y_oh, tmask, vmask, lr_, key):
         best, vloss, _ = train_fold(model, xv, y_oh, tmask, vmask,
                                     lr_, key, settings)
-        return best, vloss, predict(model, best, xv)
+        return best, vloss
 
     keys = jnp.stack([_lane_keys(base_seed, f, 0) for f in range(F)])
     args = (x, jnp.asarray(y_oh_folds), jnp.asarray(train_masks),
@@ -652,7 +663,12 @@ def run_fixed_training(model, x, y_oh_folds, train_masks, val_masks,
         lanes = jax.jit(jax.vmap(lane, in_axes=(None, 0, 0, 0, 0, 0)))
         c = _compile_with_retry(lanes.lower(*args))
         _program_memo.put(mk, c)
-    best_vars, vloss, preds = c(*args)
+    best_vars, vloss = c(*args)
+    # predictions through the SAME F-lane winner_forward program the
+    # training_type='load' replay compiles, so a load of these winners is
+    # bit-identical to the original run (an in-lane predict would lower
+    # the convs inside the larger train program and drift low-order bits)
+    preds = winner_forward(model, best_vars, x)
     var_list = [jax.tree.map(lambda a, f=f: np.asarray(a[f]), best_vars)
                 for f in range(F)]
     return np.asarray(vloss), np.asarray(preds), var_list

@@ -188,8 +188,7 @@ def test_region_rpss_table_end_to_end(tmp_path):
                       (3.5, 3.5)]]])
     write_dbf(str(tmp_path / "regions.dbf"), ["SW", "NE"])
 
-    table = analysis.region_rpss(str(tmp_path), shp, [run], lats, lons,
-                                 None)
+    table = analysis.region_rpss(str(tmp_path), shp, [run])
     assert set(table.region) == {"SW", "NE"}
     sw = table.values[table.region == "SW"]
     ne = table.values[table.region == "NE"]
