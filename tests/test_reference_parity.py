@@ -223,73 +223,162 @@ def _ref_fit_trial(ref_models, cfg, x_tr, y_tr, x_val, y_val, lr, bs,
     return km, float(min(hist.history["val_loss"]))
 
 
-@pytest.mark.slow
-def test_reference_tuned_fold_statistical_parity(ref_models):
-    """Full-fold skill parity: the reference's tuning loop (its own model
-    code + Keras fit/callback semantics) vs run_unet_sweep on identical
-    data, labels and splits. SGD paths differ (Keras shuffling vs ours), so
-    agreement is statistical: both learn the synthetic signal, winner val
-    losses land in a tight band, and test-RPSS spatial means agree."""
+def _parity_data(n_folds):
+    """Shared synthetic record + per-fold labels for the statistical
+    parity tests (same data, labels and splits on both sides)."""
     from s2s_ismr_tpu.data import synthetic
     from s2s_ismr_tpu.grid import Domain
     from s2s_ismr_tpu.ops import terciles
     from s2s_ismr_tpu import timeutils
     from s2s_ismr_tpu.train import splits
-    from s2s_ismr_tpu.train.sweep import TuningGrid, run_unet_sweep
 
     b = synthetic.synthetic_hindcast(years=(2003, 2014), seed=3,
                                      domain=Domain(67, 98, 7, 38), step=2.0)
     b = b.fillna(0.0)
-    fm = splits.bootstrap_masks(b.years, 1)
+    fm = splits.bootstrap_masks(b.years, n_folds)
     wm = timeutils.week_window_matrix(1)
-    lab = np.asarray(terciles.fit_and_label(
-        jnp.asarray(b.y), jnp.asarray(b.weeks), jnp.asarray(fm.train[0]),
-        wm, None)[0])
+    lab_f, _, _ = jax.vmap(lambda pm: terciles.fit_and_label(
+        jnp.asarray(b.y), jnp.asarray(b.weeks), pm, wm, None))(
+        jnp.asarray(fm.train))
+    lab_f = np.asarray(lab_f)
     y_oh = np.nan_to_num(np.asarray(terciles.one_hot_labels(
-        jnp.asarray(lab))), nan=0.0).astype(np.float32)
+        jnp.asarray(lab_f))), nan=0.0).astype(np.float32)
     x = np.asarray(b.ensemble_mean())[..., None].astype(np.float32)
+    climo = metrics.climo_forecast(jnp.asarray(b.ensemble_mean()))
 
+    def rpss_mean(preds, lab, mask):
+        r = np.asarray(metrics.rpss(climo, jnp.asarray(preds),
+                                    jnp.asarray(lab), jnp.asarray(mask)))
+        return float(np.nanmean(r))
+
+    return b, fm, lab_f, y_oh, x, rpss_mean
+
+
+@pytest.mark.slow
+def test_reference_tuned_fold_statistical_parity(ref_models):
+    """Distribution-level skill parity over 3 FOLDS x 2 SEEDS: the
+    reference's tuning loop (its own build_model + Keras fit/callback
+    semantics, training.py:87-116) vs run_unet_sweep on identical data,
+    labels and splits. SGD paths differ (Keras shuffling/init draws vs
+    ours), so agreement is statistical — but with 6 (fold, seed) cells
+    per side the MEANS must agree tightly, which a lr/loss/init
+    regression would break where the old single-fold wide band did not.
+
+    Bands are pinned from a measured run of this exact protocol
+    (2026-08-18, this host): ref vloss mean 0.9317 (std 0.0099), ours
+    0.9138 (std 0.0161), |Δmean| 0.0179, per-cell |Δvloss| max 0.0361;
+    ref fold-mean RPSS 0.2167 (std 0.0092), ours 0.2376 (std 0.0182),
+    |Δmean| 0.0208, per-cell |ΔRPSS| max 0.0512. Bands are ~2-3x those
+    gaps — the old single-fold test allowed |Δvloss| 0.12 / |ΔRPSS| 0.15
+    on one cell; this one caps the mean of six cells at 0.05 / 0.06."""
+    from s2s_ismr_tpu.train.sweep import TuningGrid, run_unet_sweep
+
+    F, seeds, epochs = 3, (42, 7), 30
+    b, fm, lab_f, y_oh, x, rpss_mean = _parity_data(F)
     grid = TuningGrid(n_blocks=(3,), n_filters=(2,), ct_kernels=((3, 3),),
                       batch_sizes=(16,), learning_rates=(1e-3, 1e-4),
                       patience=10)
-    epochs = 30
 
     # ---- reference side: its own build_model inside the training.py loop
-    tr, va, te = fm.train[0], fm.val[0], fm.test[0]
-    best_ref, best_vloss_ref = None, np.inf
-    for t_i, lr in enumerate(grid.learning_rates):
-        km, vloss = _ref_fit_trial(
-            ref_models, UNetConfig(filters=2, n_blocks=3, ct_kernel=(3, 3)),
-            x[tr], y_oh[tr], x[va], y_oh[va], lr=lr, bs=16,
-            epochs=epochs, patience=grid.patience, seed=42)
-        if vloss < best_vloss_ref:
-            best_ref, best_vloss_ref = km, vloss
-    preds_ref = best_ref.predict(x, verbose=0)
+    ref_v = np.zeros((len(seeds), F))
+    ref_r = np.zeros((len(seeds), F))
+    for si, seed in enumerate(seeds):
+        for f in range(F):
+            tr, va, te = fm.train[f], fm.val[f], fm.test[f]
+            best_ref, best_vloss_ref = None, np.inf
+            for lr in grid.learning_rates:
+                km, vloss = _ref_fit_trial(
+                    ref_models,
+                    UNetConfig(filters=2, n_blocks=3, ct_kernel=(3, 3)),
+                    x[tr], y_oh[f][tr], x[va], y_oh[f][va], lr=lr, bs=16,
+                    epochs=epochs, patience=grid.patience, seed=seed)
+                if vloss < best_vloss_ref:
+                    best_ref, best_vloss_ref = km, vloss
+            ref_v[si, f] = best_vloss_ref
+            ref_r[si, f] = rpss_mean(best_ref.predict(x, verbose=0),
+                                     lab_f[f], te)
 
-    # ---- our side: one vmapped sweep over the same arrays
-    res = run_unet_sweep(jnp.asarray(x), jnp.asarray(y_oh[None]),
-                         fm.train, fm.val, grid, epochs=epochs)
-    best_vloss_ours = float(res.best_val_loss[0])
-    preds_ours = res.predictions[0]
+    # ---- our side: one vmapped sweep per seed over the same arrays
+    ours_v = np.zeros((len(seeds), F))
+    ours_r = np.zeros((len(seeds), F))
+    for si, seed in enumerate(seeds):
+        res = run_unet_sweep(jnp.asarray(x), jnp.asarray(y_oh),
+                             fm.train, fm.val, grid, epochs=epochs,
+                             base_seed=seed)
+        ours_v[si] = res.best_val_loss
+        for f in range(F):
+            ours_r[si, f] = rpss_mean(np.asarray(res.predictions[f]),
+                                      lab_f[f], fm.test[f])
 
     climo_ce = np.log(3.0)
-    # both learned the signal on validation (well under the 1/3-1/3-1/3
-    # entropy floor) and landed in the same band
-    assert best_vloss_ref < climo_ce - 0.02
-    assert best_vloss_ours < climo_ce - 0.02
-    assert abs(best_vloss_ours - best_vloss_ref) < 0.12, \
-        (best_vloss_ours, best_vloss_ref)
+    # every cell learned the signal (under the 1/3-1/3-1/3 entropy floor)
+    assert (ref_v < climo_ce - 0.1).all(), ref_v
+    assert (ours_v < climo_ce - 0.1).all(), ours_v
+    # distribution agreement: mean of six cells within ~3x the measured
+    # gap (0.0179); a lr/loss/init regression moves this by >> 0.05
+    assert abs(ours_v.mean() - ref_v.mean()) < 0.05, \
+        (ours_v.mean(), ref_v.mean())
+    # and no single (fold, seed) cell drifts far (measured max 0.0361)
+    assert np.abs(ours_v - ref_v).max() < 0.08, np.abs(ours_v - ref_v)
 
-    # test RPSS agreement (shared metric code; the metric itself is golden
-    # tested vs performance_metrics.py:26-45 in tests/test_metrics.py)
-    climo = metrics.climo_forecast(jnp.asarray(b.ensemble_mean()))
-    r_ref = np.asarray(metrics.rpss(climo, jnp.asarray(preds_ref),
-                                    jnp.asarray(lab), jnp.asarray(te)))
-    r_ours = np.asarray(metrics.rpss(climo, jnp.asarray(preds_ours),
-                                     jnp.asarray(lab), jnp.asarray(te)))
-    m_ref = np.nanmean(r_ref)
-    m_ours = np.nanmean(r_ours)
-    # a positive-skill synthetic signal: both clearly beat climatology and
-    # agree on the fold-mean skill level
-    assert m_ref > 0.05 and m_ours > 0.05, (m_ref, m_ours)
-    assert abs(m_ours - m_ref) < 0.15, (m_ours, m_ref)
+    # test-RPSS agreement (metric itself golden-tested in test_metrics)
+    assert (ref_r > 0.12).all() and (ours_r > 0.12).all(), (ref_r, ours_r)
+    assert abs(ours_r.mean() - ref_r.mean()) < 0.06, \
+        (ours_r.mean(), ref_r.mean())
+    assert np.abs(ours_r - ref_r).max() < 0.11, np.abs(ours_r - ref_r)
+
+
+@pytest.mark.slow
+def test_reference_cnn_fixed_training_parity(ref_models):
+    """CNN fixed-training parity: the reference's 'train' branch for its
+    CNN (training.py:53-64,119-125 — compile Adam+CE, fit with
+    ModelCheckpoint best-val only, no EarlyStopping) vs run_fixed_training
+    (early_exit=False) on identical data/labels/splits, 3 folds.
+
+    The reference CNN is built with output_channels=3 here: its DEFAULT
+    is 1 (deep_nn_models.py:188), and training.py:62 doesn't override it,
+    so the reference's own CNN branch crashes in Keras 3 on the (H, W, 3)
+    one-hot targets (verified in this image) — 3 channels is the only
+    usable intent, and what our models/cnn.py defaults to (documented
+    there). Bands pinned from a measured run (2026-08-18, this host):
+    ref vloss [0.9323, 0.9347, 0.9349] vs ours [0.9425, 0.9388, 0.9344]
+    (|Δmean| 0.0046, per-fold max 0.0102); fold-mean RPSS [0.2089,
+    0.1995, 0.1900] vs [0.1892, 0.2000, 0.1968] (|Δmean| 0.0042,
+    per-fold max 0.0197). Bands are ~3-6x those gaps."""
+    from s2s_ismr_tpu.models import CNN
+    from s2s_ismr_tpu.train.sweep import run_fixed_training
+
+    F, epochs = 3, 30
+    b, fm, lab_f, y_oh, x, rpss_mean = _parity_data(F)
+    hw = x.shape[1:3]
+
+    ref_v = np.zeros(F)
+    ref_r = np.zeros(F)
+    for f in range(F):
+        tr, va, te = fm.train[f], fm.val[f], fm.test[f]
+        keras.utils.set_random_seed(42)
+        km = ref_models.CNN(input_shape=(hw[0], hw[1], 1),
+                            output_channels=3)
+        km.compile(optimizer=keras.optimizers.Adam(learning_rate=1e-3),
+                   loss="categorical_crossentropy")
+        hist = km.fit(x=x[tr], y=y_oh[f][tr],
+                      validation_data=(x[va], y_oh[f][va]), epochs=epochs,
+                      batch_size=16, shuffle=True, verbose=0)
+        ref_v[f] = float(min(hist.history["val_loss"]))
+        ref_r[f] = rpss_mean(km.predict(x, verbose=0), lab_f[f], te)
+
+    vl, preds, _ = run_fixed_training(CNN(), x, y_oh, fm.train, fm.val,
+                                      lr=1e-3, batch_size=16, epochs=epochs,
+                                      early_exit=False)
+    ours_r = np.array([rpss_mean(preds[f], lab_f[f], fm.test[f])
+                       for f in range(F)])
+
+    climo_ce = np.log(3.0)
+    assert (ref_v < climo_ce - 0.1).all(), ref_v
+    assert (vl < climo_ce - 0.1).all(), vl
+    assert abs(vl.mean() - ref_v.mean()) < 0.03, (vl.mean(), ref_v.mean())
+    assert np.abs(vl - ref_v).max() < 0.06, np.abs(vl - ref_v)
+    assert (ref_r > 0.12).all() and (ours_r > 0.12).all(), (ref_r, ours_r)
+    assert abs(ours_r.mean() - ref_r.mean()) < 0.03, \
+        (ours_r.mean(), ref_r.mean())
+    assert np.abs(ours_r - ref_r).max() < 0.06, np.abs(ours_r - ref_r)
