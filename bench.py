@@ -2,16 +2,22 @@
 
 Measures training steps/sec/chip on the reference's canonical workload
 shape (tune_ECMWF_com.py: 32x32 grid, ~350 weekly samples, filters=2
-n_blocks=3 U-Net, batch 16) in two modes:
+n_blocks=3 U-Net, batch 16) in three modes:
 
-  * sequential: one lane at a time — how the reference executes its sweep
-    (Keras model.fit per trial, training.py:87-103);
-  * vmapped sweep: 20 lanes (10 folds x 2 lrs) in one XLA program — this
-    framework's execution model.
+  * sequential: one lane at a time, host-blocking after each — how the
+    reference executes its sweep (Keras model.fit per trial,
+    training.py:87-103);
+  * serial-async: the SHIPPED execution model (sweep.py lane_dispatch,
+    round 3) — the same per-lane programs dispatched back-to-back with a
+    single final sync, pipelining host dispatch under device execute;
+  * vmapped: all 20 lanes in one XLA program (rounds 1-2's execution
+    model; kept for cross-round continuity — vmap-over-weights lowers to
+    grouped convs whose step cost is super-linear in lane count, so it
+    lost to per-lane dispatch at production shapes, PERF.md round 3).
 
-Prints ONE JSON line; vs_baseline is the sweep speedup over the
-sequential execution model on the same chip (the reference publishes no
-numbers of its own — BASELINE.md).
+Prints ONE JSON line; value is the shipped model's steps/s, vs_baseline
+its speedup over the sequential execution model on the same chip (the
+reference publishes no numbers of its own — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -70,7 +76,7 @@ def main():
             jnp.asarray(fm.val[fold_idx]), jnp.asarray(lrs),
             jax.random.split(jax.random.key(0), lanes))
 
-    # --- sequential execution model (reference style) ---
+    # --- sequential execution model (reference style: block per lane) ---
     seq = jax.jit(lane)
     seq(*[a[0] for a in args]).block_until_ready()      # compile
     t0 = time.perf_counter()
@@ -79,7 +85,16 @@ def main():
     seq_time_per_lane = (time.perf_counter() - t0) / min(4, lanes)
     seq_steps_per_sec = steps_per_lane / seq_time_per_lane
 
-    # --- vmapped sweep (this framework) ---
+    # --- serial-async: the shipped sweep execution model ---
+    # same compiled per-lane program, all lanes enqueued before one sync
+    for _ in range(2):                                  # warm-up + measure
+        t0 = time.perf_counter()
+        outs = [seq(*[a[i] for a in args]) for i in range(lanes)]
+        jax.block_until_ready(outs)
+        async_time = time.perf_counter() - t0
+    async_steps_per_sec = steps_per_lane * lanes / async_time
+
+    # --- vmapped sweep (rounds 1-2 execution model, for continuity) ---
     sweep = jax.jit(jax.vmap(lane, in_axes=(0, 0, 0, 0, 0)))
     sweep(*args).block_until_ready()                    # compile
     t0 = time.perf_counter()
@@ -89,10 +104,10 @@ def main():
 
     print(json.dumps({
         "metric": "unet_tuning_steps_per_sec_per_chip",
-        "value": round(sweep_steps_per_sec, 1),
+        "value": round(async_steps_per_sec, 1),
         "unit": f"steps/s ({platform}, {lanes} lanes x {steps_per_lane} steps,"
-                f" seq={seq_steps_per_sec:.1f}/s)",
-        "vs_baseline": round(sweep_steps_per_sec / seq_steps_per_sec, 2),
+                f" seq={seq_steps_per_sec:.1f}/s, vmap={sweep_steps_per_sec:.1f}/s)",
+        "vs_baseline": round(async_steps_per_sec / seq_steps_per_sec, 2),
     }))
 
 

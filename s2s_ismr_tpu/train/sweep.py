@@ -285,7 +285,8 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                    verbose: bool = False,
                    mesh=None, early_exit: bool = True,
                    output: str = "proba",
-                   compile_only: bool = False) -> SweepResult:
+                   compile_only: bool = False,
+                   lane_dispatch: str = "auto") -> SweepResult:
     """Run the full tuning sweep.
 
     x:            (T, H, W, C) predictor images (jnp or np)
@@ -298,6 +299,23 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                   independent SGD chains: zero hot-loop collectives,
                   linear scaling; parallel/mesh.py). Lane count is padded
                   to a device multiple with throwaway replica lanes.
+    lane_dispatch: single-device lane execution model —
+                  'serial' = one compiled 1-lane program per bucket,
+                  dispatched asynchronously per (fold, lr) lane so each
+                  lane early-exits at its OWN stop epoch;
+                  'vmap'   = folds x lrs as vmap lanes in one program
+                  (early_exit runs every lane to the LAST lane's stop).
+                  'auto' (default) = serial when mesh is None: measured
+                  0.49x the vmapped wall at both production shapes on the
+                  v5e (PERF.md round 3) — vmap-over-weights lowers to
+                  grouped convs whose per-step cost is SUPER-linear in
+                  lane count (20-lane step ≈ 17-26x a 1-lane step), so
+                  batching lanes into one program loses to pipelined
+                  per-lane dispatch even before the early-exit win.
+                  Numerics note: grouped vs plain conv differ in low-order
+                  bits, so the two modes' val losses agree only to ~1e-2
+                  on TPU; each mode is bit-reproducible run-to-run.
+                  Mesh sweeps always use vmapped local lanes (shard_map).
     compile_only: trace + compile every bucket program into the process
                   memo and return None WITHOUT executing — the suite
                   runner calls this for config N+1 in a background thread
@@ -324,6 +342,21 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
     train_masks = jnp.asarray(train_masks)
     val_masks = jnp.asarray(val_masks)
     F = train_masks.shape[0]
+
+    if lane_dispatch not in ("auto", "serial", "vmap"):
+        raise ValueError(f"lane_dispatch={lane_dispatch!r}")
+    if lane_dispatch == "serial" and mesh is not None:
+        raise ValueError("lane_dispatch='serial' is a single-device "
+                         "execution model; mesh sweeps shard vmapped "
+                         "local lanes")
+    serial = mesh is None and lane_dispatch != "vmap"
+
+    def _lane0(a):
+        # one lane's slice of a lane-stacked arg; aval-aware so the
+        # compile_only prefetch can lower from ShapeDtypeStructs
+        if isinstance(a, jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct(tuple(a.shape[1:]), a.dtype)
+        return a[0]
 
     trials = enumerate_trials(grid)
     buckets = bucket_trials(trials)
@@ -368,16 +401,27 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             # epochs actually run (early_exit leaves NaN past the exit)
             return best, vloss, jnp.sum(jnp.isfinite(hist), dtype=jnp.int32)
 
-        keys = jnp.stack([
-            jnp.stack([_lane_keys(base_seed, f, t.index) for t in bucket])
-            for f in range(F)])
+        keys_fr = [[_lane_keys(base_seed, f, t.index) for t in bucket]
+                   for f in range(F)]
         R = len(bucket)
-        if mesh is None:
+        extras = None
+        if serial:
+            # one 1-lane program per bucket (lr/key are traced inputs, so
+            # both lrs share it); dispatched per (fold, lr) at execute —
+            # smaller to compile than the (F, R)-lane program AND free of
+            # the grouped-conv super-linearity + max-stop-epoch barrier
+            lanes = jax.jit(lane)
+            args = (x, _lane0(y_oh_folds), _lane0(train_masks),
+                    _lane0(val_masks), lrs[0], keys_fr[0][0])
+            extras = (lrs, keys_fr)
+        elif mesh is None:
+            keys = jnp.stack([jnp.stack(kf) for kf in keys_fr])
             lanes = jax.jit(jax.vmap(
                 jax.vmap(lane, in_axes=(None, None, None, None, 0, 0)),
                 in_axes=(None, 0, 0, 0, None, 0)))
             args = (x, y_oh_folds, train_masks, val_masks, lrs, keys)
         else:
+            keys = jnp.stack([jnp.stack(kf) for kf in keys_fr])
             lanes, args = _mesh_lanes(model, settings, mesh, x, y_oh_folds,
                                       train_masks, val_masks, lrs, keys)
         # x is an explicit program input (not a closed-over constant), so a
@@ -385,11 +429,12 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         # reused across same-shape sweeps (MME trains one sweep per model;
         # a multi-config session re-runs identical grids) via _program_memo
         memo_key = None if model_factory is not None else _memo_key(
-            "train", key_, apool, bn, settings, args, mesh)
+            "train1" if serial else "train", key_, apool, bn, settings,
+            args, mesh)
         cached = _program_memo.get(memo_key)
         jobs.append((key_, bucket,
                      cached if cached is not None else lanes.lower(*args),
-                     args, memo_key, cached is not None))
+                     args, memo_key, cached is not None, extras))
         # register this bucket's architecture as a winner-forward candidate:
         # an (F,)-stacked variables aval tree for the vmapped predict program
         pkey = ((kern, filt, blocks) if model_factory is None else key_)
@@ -407,13 +452,13 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             stacked = jax.tree.map(
                 lambda s: jax.ShapeDtypeStruct((F,) + s.shape, s.dtype),
                 var_avals)
-            pred_candidates[pkey] = (model, stacked)
+            pred_candidates[pkey] = (model, var_avals, stacked)
 
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
     t0 = _time.perf_counter()
     def _compile_job(j):
-        key_, bucket, prog, args, memo_key, hit = j
+        key_, bucket, prog, args, memo_key, hit, _extras = j
         if hit:
             return prog                 # memo hit: already a compiled exe
         if compile_only:
@@ -452,15 +497,39 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         return None
 
     t0 = _time.perf_counter()
-    dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async
+    if serial:
+        # per-lane async dispatch: ~L enqueues pipeline on the device
+        # queue (enqueue is non-blocking; only the final block syncs), and
+        # each lane's while_loop exits at its OWN stop epoch instead of
+        # the vmapped max-over-lanes
+        y_f = [y_oh_folds[f] for f in range(F)]
+        tm_f = [train_masks[f] for f in range(F)]
+        vm_f = [val_masks[f] for f in range(F)]
+        lane_vars: List[Any] = []       # flat, job-major then (f, r)
+        lane_vloss: List[Any] = []
+        lane_nep: List[Any] = []
+        lane_off: List[int] = []
+        for c, j in zip(compiled, jobs):
+            lrs_b, keys_fr = j[6]
+            lane_off.append(len(lane_vloss))
+            for f in range(F):
+                for r in range(len(j[1])):
+                    bv, vl, ne = c(x, y_f[f], tm_f[f], vm_f[f],
+                                   lrs_b[r], keys_fr[f][r])
+                    lane_vars.append(bv)
+                    lane_vloss.append(vl)
+                    lane_nep.append(ne)
+    else:
+        dispatched = [c(*j[3]) for c, j in zip(compiled, jobs)]   # async
     # compile every candidate winner-forward program WHILE the device is
     # busy training — compilation is compile-server work, so by the time
     # winners are known the forward programs are ready (collect previously
     # paid a lazy ~20s remote compile per winning architecture)
-    pred_pool = ThreadPoolExecutor(max_workers=max(1, len(pred_candidates)))
+    pred_pool = ThreadPoolExecutor(
+        max_workers=max(1, len(pred_candidates)) + (2 if serial else 0))
 
     def _compile_pred(pk):
-        m, stacked = pred_candidates[pk]
+        m, _va, stacked = pred_candidates[pk]
         mk = None if model_factory is not None else _memo_key(
             "pred", pk, apool, bn, None, (stacked, x), None)
         c = _program_memo.get(mk)
@@ -471,10 +540,44 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             _program_memo.put(mk, c)
         return c
 
+    def _compile_stack_tree(pk):
+        # stacks F single-lane winner var trees into the (F,)-stacked tree
+        # the winner-forward program takes — ONE dispatch instead of a
+        # host round trip per tree leaf
+        _m, va, _stacked = pred_candidates[pk]
+        mk = ("stacktree", F, _avals_key(va))
+        c = _program_memo.get(mk)
+        if c is None:
+            c = _compile_with_retry(jax.jit(
+                lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+            ).lower([va] * F))
+            _program_memo.put(mk, c)
+        return c
+
+    def _compile_scalar_stack(n):
+        # stacks the L per-lane (vloss, n_ep) scalars in ONE program: the
+        # val table crosses the tunnel as 2 arrays, not 2L round trips
+        mk = ("stackscalars", n)
+        c = _program_memo.get(mk)
+        if c is None:
+            vs = [jax.ShapeDtypeStruct((), jnp.float32)] * n
+            ns = [jax.ShapeDtypeStruct((), jnp.int32)] * n
+            c = _compile_with_retry(jax.jit(
+                lambda v, m: (jnp.stack(v), jnp.stack(m))).lower(vs, ns))
+            _program_memo.put(mk, c)
+        return c
+
     try:
         pred_futs = {pk: pred_pool.submit(_compile_pred, pk)
                      for pk in pred_candidates}
-        jax.tree.map(lambda a: a.block_until_ready(), dispatched[-1][1])
+        if serial:
+            stack_futs = {pk: pred_pool.submit(_compile_stack_tree, pk)
+                          for pk in pred_candidates}
+            scalar_fut = pred_pool.submit(_compile_scalar_stack,
+                                          len(lane_vloss))
+            jax.block_until_ready(lane_vloss[-1])
+        else:
+            jax.tree.map(lambda a: a.block_until_ready(), dispatched[-1][1])
         t_execute = _time.perf_counter() - t0
         if mesh is not None:
             dispatched = [_unflatten_lanes(out, F, len(j[1]))
@@ -485,12 +588,22 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         # device; predictions for non-winning trials are never computed at
         # all (the old path ran + transferred every trial's full-T forward —
         # ~1GB of useless host traffic for a 24-trial grid).
-        for bpos, ((key_, bucket, *_), (best_vars, vloss, n_ep)) in enumerate(
-                zip(jobs, dispatched)):
+        if serial:
+            vl_all, ne_all = scalar_fut.result()(lane_vloss, lane_nep)
+            vl_all = np.asarray(vl_all)
+            ne_all = np.asarray(ne_all)
+        for bpos, (key_, bucket, *_) in enumerate(jobs):
             bs, kern, filt, blocks = key_
-            vloss = np.asarray(vloss)            # (F, R)
-            total_steps += (int(np.asarray(n_ep).sum())
-                            * (-(-x.shape[0] // bs)))
+            R = len(bucket)
+            if serial:
+                o = lane_off[bpos]
+                vloss = vl_all[o:o + F * R].reshape(F, R)
+                n_ep_sum = int(ne_all[o:o + F * R].sum())
+            else:
+                _bv, vloss, n_ep = dispatched[bpos]
+                vloss = np.asarray(vloss)        # (F, R)
+                n_ep_sum = int(np.asarray(n_ep).sum())
+            total_steps += n_ep_sum * (-(-x.shape[0] // bs))
             if verbose:
                 print(f"bucket bs={bs} kern={kern} filt={filt} "
                       f"blocks={blocks}: val_loss min={vloss.min():.4f}")
@@ -523,9 +636,19 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
             G = len(frs)
             # pad the gather to the program's static F lanes (repeat lane
             # 0; throwaway forwards are cheap, the compile reuse is not)
-            fs = np.asarray([f for f, _, _ in frs] + [frs[0][0]] * (F - G))
-            rs = np.asarray([r for _, r, _ in frs] + [frs[0][1]] * (F - G))
-            vstack = jax.tree.map(lambda a: a[fs, rs], dispatched[bpos][0])
+            if serial:
+                Rb = len(jobs[bpos][1])
+                o = lane_off[bpos]
+                trees = [lane_vars[o + f * Rb + r] for f, r, _ in frs]
+                trees += [trees[0]] * (F - G)
+                vstack = stack_futs[pkey].result()(trees)
+            else:
+                fs = np.asarray([f for f, _, _ in frs]
+                                + [frs[0][0]] * (F - G))
+                rs = np.asarray([r for _, r, _ in frs]
+                                + [frs[0][1]] * (F - G))
+                vstack = jax.tree.map(lambda a: a[fs, rs],
+                                      dispatched[bpos][0])
             # winner predictions STAY ON DEVICE: the RPSS stage consumes
             # them in-place and only (F, Y, X) skill maps cross the
             # tunnel — materializing (F, T, H, W, 3) here cost the
@@ -559,7 +682,9 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         timings={"compile_s": round(t_compile, 2),
                  "compile_cached_buckets": n_cached,
                  "execute_s": round(t_execute, 2),
-                 "collect_s": round(_time.perf_counter() - t0, 2)},
+                 "collect_s": round(_time.perf_counter() - t0, 2),
+                 "lane_dispatch": ("mesh" if mesh is not None
+                                   else "serial" if serial else "vmap")},
     )
 
 
