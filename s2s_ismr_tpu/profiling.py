@@ -30,8 +30,24 @@ def trace(trace_dir: Optional[str]):
         return
     import jax
     os.makedirs(trace_dir, exist_ok=True)
-    with jax.profiler.trace(trace_dir):
-        yield
+    t_stop = None
+    try:
+        with jax.profiler.trace(trace_dir):
+            try:
+                yield
+            finally:
+                t_stop = time.perf_counter()
+    finally:
+        # Trace serialization happens on profiler-context exit and is NOT
+        # free: a production NN stage's trace (~15M thunk events) took
+        # ~16 min to dump on this 1-core host — far longer than the stage
+        # it measured (PERF.md round 3). Surface it so a profiled run's
+        # wall clock is explainable.
+        if t_stop is not None:
+            dump_s = time.perf_counter() - t_stop
+            if dump_s > 1.0:
+                print(f"[trace] serialized profile to {trace_dir} "
+                      f"in {dump_s:.1f}s (excluded from stage timers)")
 
 
 @dataclass
