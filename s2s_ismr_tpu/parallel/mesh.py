@@ -59,26 +59,46 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), s), tree)
 
 
-def shard_map_lanes(lane_fn, mesh: Mesh, n_shared: int = 1):
+def shard_map_lanes(lane_fn, mesh: Mesh, n_shared: int = 1, local="scan"):
     """SPMD-parallelize a per-lane function over the mesh's lane axis.
 
     GSPMD cannot auto-partition the grouped convolutions that vmap-over-
-    weights produces, so lane parallelism is expressed explicitly: shard_map
-    splits the lane-major args across devices and a *local* vmap runs that
-    device's lanes. The first n_shared args are replicated (shared data,
-    e.g. the x images); the rest are lane-major (axis 0 sharded).
+    weights produces, so lane parallelism is expressed explicitly:
+    shard_map splits the lane-major args across devices and each device
+    runs its local lanes itself. The first n_shared args are replicated
+    (shared data, e.g. the x images); the rest are lane-major (axis 0
+    sharded).
+
+    local: how a device executes its own lanes —
+      'scan' (default): lax.scan over the local lane axis — each
+        iteration is the PLAIN per-lane program (normal convs), and the
+        inner early-exit while_loop stops at that lane's own epoch.
+        Measured on the v5e (round-4 lane-regime probe, PERF.md):
+        bit-identical to serial per-lane dispatch at equal wall, while
+        vmapped local lanes lower to grouped convs costing 1.39x serial
+        at just 2 lanes/device on the 64x64 grids (1.80x at 10) — the
+        exact per-device regime of a v4-8 mesh sweep.
+      'vmap': the rounds-1-3 formulation (local lanes as vmap lanes in
+        one program body), kept for measurement comparisons.
 
     Returns a jitted callable with the same signature as lane_fn but
     accepting stacked lane-major arguments.
     """
+    if local not in ("scan", "vmap"):
+        raise ValueError(f"local={local!r}")
+
     def spmd(*args):
-        def local(*all_args):
+        def run_local(*all_args):
             shared, largs = all_args[:n_shared], all_args[n_shared:]
-            return jax.vmap(lambda *la: lane_fn(*shared, *la))(*largs)
+            if local == "vmap":
+                return jax.vmap(lambda *la: lane_fn(*shared, *la))(*largs)
+            return jax.lax.scan(
+                lambda carry, la: (carry, lane_fn(*shared, *la)),
+                0, largs)[1]
 
         in_specs = (P(),) * n_shared + tuple(P(LANES)
                                              for _ in args[n_shared:])
-        return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+        return jax.shard_map(run_local, mesh=mesh, in_specs=in_specs,
                              out_specs=P(LANES), check_vma=False)(*args)
 
     return jax.jit(spmd)

@@ -315,7 +315,12 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
                   Numerics note: grouped vs plain conv differ in low-order
                   bits, so the two modes' val losses agree only to ~1e-2
                   on TPU; each mode is bit-reproducible run-to-run.
-                  Mesh sweeps always use vmapped local lanes (shard_map).
+                  Mesh sweeps shard_map the lane axis over devices and
+                  lax.scan over each device's LOCAL lanes (round-4 probe:
+                  scan iterations are the plain per-lane program —
+                  bit-identical to serial dispatch at equal wall — while
+                  vmapped local lanes pay the grouped-conv penalty, 1.39x
+                  at 2 lanes/device on 64x64; parallel/mesh.py).
     compile_only: trace + compile every bucket program into the process
                   memo and return None WITHOUT executing — the suite
                   runner calls this for config N+1 in a background thread
@@ -347,8 +352,8 @@ def run_unet_sweep(x, y_oh_folds, train_masks, val_masks,
         raise ValueError(f"lane_dispatch={lane_dispatch!r}")
     if lane_dispatch == "serial" and mesh is not None:
         raise ValueError("lane_dispatch='serial' is a single-device "
-                         "execution model; mesh sweeps shard vmapped "
-                         "local lanes")
+                         "execution model; mesh sweeps shard the lane "
+                         "axis and scan local lanes per device")
     serial = mesh is None and lane_dispatch != "vmap"
 
     def _lane0(a):
