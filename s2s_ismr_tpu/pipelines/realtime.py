@@ -190,6 +190,41 @@ def write_composites(res: RealtimeResult, out_dir, coords, week,
     return paths
 
 
+def render_figures(res: RealtimeResult, lats, lons, titles, fig_dir, week,
+                   tag=None, out_root=".") -> Dict[str, str]:
+    """Render the missing notebook's deliverable as figures (README.md:22
+    'GradCAM maps and MJO/ENSO diagnostics', in the reference repo's map
+    style plots.py:394-461): p(above) maps and GradCAM overlays per
+    forecast date, MJO-phase / ENSO-state composite panels. Written under
+    figures/Realtime/ next to the outputs/ netcdfs."""
+    import os
+    from ..viz import realtime as vrt
+    from ..viz.maps import default_shapes_dir
+    sd = default_shapes_dir(out_root)
+    mid = f"{tag}_" if tag else ""
+    figs = {
+        "fig_probs": vrt.plot_probability_maps(
+            res.probs[..., 2], lats, lons,
+            os.path.join(fig_dir, f"probs_above_{mid}{week}.png"),
+            titles=titles, shapes_dir=sd),
+        "fig_gradcam": vrt.plot_gradcam_overlays(
+            res.probs[..., 2], res.gradcam_maps, lats, lons,
+            os.path.join(fig_dir, f"gradcam_{mid}{week}.png"),
+            titles=titles, shapes_dir=sd),
+    }
+    if res.mjo_composites:
+        figs["fig_mjo"] = vrt.plot_composite_panels(
+            res.mjo_composites, lats, lons,
+            os.path.join(fig_dir, f"mjo_composites_{mid}{week}.png"),
+            kind="mjo", shapes_dir=sd)
+    if res.enso_composites:
+        figs["fig_enso"] = vrt.plot_composite_panels(
+            res.enso_composites, lats, lons,
+            os.path.join(fig_dir, f"enso_composites_{mid}{week}.png"),
+            kind="enso", shapes_dir=sd)
+    return figs
+
+
 def load_winner_for_realtime(models_dir, week, architecture="unet"):
     """Pick the best fold's checkpoint by stored val_loss."""
     import json
@@ -316,7 +351,7 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
                           cache_dir="download", cookies="cookies.txt",
                           rmm=None, nino34=None, hindcast_source="iridl",
                           seed=0, synthetic_step=None, log=print,
-                          fetch_indices=True):
+                          fetch_indices=True, make_plots=False):
     """The full operational pipeline the reference's missing
     Realtime_fcast_MME.ipynb performed (README.md:22): download dated
     realtime forecasts + verifying obs (dataloader.py:338-495), predict
@@ -430,6 +465,13 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
                   "rpss"),
             os.path.join(out_dir, f"fcst_rpss_{tag}_{cfg.week}.nc"))
     paths.update(write_composites(res, out_dir, coords, cfg.week, tag=tag))
+    if make_plots:
+        fig_dir = os.path.join(out_root, "figures", "Realtime",
+                               f"{model_name}_{cfg.obs}")
+        titles = [f"init {d}" for d in dates]
+        paths.update(render_figures(res, rt0.lats, rt0.lons, titles,
+                                    fig_dir, cfg.week, tag=tag,
+                                    out_root=out_root))
     log(f"[realtime] operational {model_name} {cfg.week}: "
         f"{len(dates)} init dates, verified {int(have_obs.sum())}; "
         f"outputs: {sorted(paths)}")
@@ -439,7 +481,8 @@ def run_realtime_forecast(cfg, dates, out_root=".", download=True,
 def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
                       synthetic_step=None, rmm=None, nino34=None,
                       log=print, fetch_indices=True, download=True,
-                      cache_dir="download", cookies="cookies.txt"):
+                      cache_dir="download", cookies="cookies.txt",
+                      make_plots=False):
     """CLI driver: load the tuned winner for `cfg`, evaluate held-out
     'realtime' forecasts, write probability/RPSS/GradCAM netcdfs.
 
@@ -551,6 +594,14 @@ def run_realtime_eval(cfg, out_root=".", source="synthetic", seed=0,
                   "rpss"),
             os.path.join(out_dir, f"rpss_realtime_{cfg.week}.nc"))
     paths.update(write_composites(res, out_dir, coords, cfg.week))
+    if make_plots:
+        fig_dir = os.path.join(out_root, "figures", "Realtime",
+                               f"{model_name}_{cfg.obs}")
+        t_valid = timeutils.to_datetime64(b.t[rt])
+        titles = [f"valid {s}" for s in
+                  np.datetime_as_string(t_valid, unit="D")]
+        paths.update(render_figures(res, b.lats, b.lons, titles,
+                                    fig_dir, cfg.week, out_root=out_root))
     log(f"[realtime] {model_name} {cfg.week}: "
         f"{res.probs.shape[0]} forecasts, mean RPSS "
         f"{np.nanmean(res.rpss_map) if res.rpss_map is not None else 'n/a'}; "

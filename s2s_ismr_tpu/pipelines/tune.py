@@ -285,10 +285,11 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
                                  f"that yields a divisible grid or pad via "
                                  f"DataBundle.pad_to_grid") from None
         t0 = time.time()
+        grid_n = resolve_batch_sizes(cfg.tuning, int(x.shape[0]))
         if cfg.architecture == "unet" and training_type == "tune":
             if cfg.output == "deterministic":
                 res = run_unet_sweep(x, y_det_tgt, fm.train, fm.val,
-                                     cfg.tuning, epochs=cfg.epochs,
+                                     grid_n, epochs=cfg.epochs,
                                      mesh=mesh, output="deterministic")
                 # score probabilistically: categorize each fold's precip
                 # predictions with that fold's tercile edges (one-hot
@@ -296,7 +297,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
                 res = replace(res, predictions=_deterministic_to_probs(
                     res.predictions, filled[n].weeks, edges_pr))
             else:
-                res = run_unet_sweep(x, y_oh, fm.train, fm.val, cfg.tuning,
+                res = run_unet_sweep(x, y_oh, fm.train, fm.val, grid_n,
                                      epochs=cfg.epochs, mesh=mesh)
             log(f"[nn] model {n}: sweep of {res.val_loss_table.shape[1]} "
                 f"trials x {fm.n_folds} folds in {time.time() - t0:.1f}s "
@@ -314,7 +315,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
             # no grid, and no EarlyStopping: ModelCheckpoint best-val
             # weights over all epochs)
             from ..train.sweep import run_fixed_training
-            g = cfg.tuning
+            g = grid_n
             if cfg.architecture == "unet":
                 model, ucfg = _unet_from_grid(cfg)
             else:
@@ -345,7 +346,7 @@ def run_nn_branch(cfg: PipelineConfig, bundles, log=print,
             if n in sweeps:
                 timer.count("train_steps", sweeps[n].train_steps)
             else:
-                bs_ = cfg.tuning.batch_sizes[0]
+                bs_ = grid_n.batch_sizes[0]
                 timer.count("train_steps", fm.n_folds * cfg.epochs
                             * (-(-x.shape[0] // bs_)))
 
@@ -478,6 +479,21 @@ def run_nn_branch_load(cfg: PipelineConfig, bundles, out_root=".",
         fixed_winners={})
 
 
+def resolve_batch_sizes(grid: TuningGrid, T: int) -> TuningGrid:
+    """Resolve the batch-size sentinel 0 = 'full' to the actual training-
+    set length. Full-batch steps measured 4.3x MXU utilization on the v5e
+    (PERF.md) but change SGD semantics (1 step/epoch, no shuffling
+    effect), so 'full' is a documented non-parity opt-in via
+    `--batch-size full`, never a default."""
+    if 0 not in grid.batch_sizes:
+        return grid
+    seen = []
+    for b in (T if b == 0 else b for b in grid.batch_sizes):
+        if b not in seen:
+            seen.append(b)           # dedupe: T may collide with explicit bs
+    return replace(grid, batch_sizes=tuple(seen))
+
+
 def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
                          synthetic_step=None, log=print, use_mesh="auto"):
     """Compile (never execute) a config's NN bucket programs into the
@@ -521,7 +537,8 @@ def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
         from ..parallel import mesh as pmesh
         mesh = pmesh.sweep_mesh()
     t0 = time.time()
-    run_unet_sweep(x, y_dummy, fm.train, fm.val, cfg.tuning,
+    run_unet_sweep(x, y_dummy, fm.train, fm.val,
+                   resolve_batch_sizes(cfg.tuning, x_shape[0]),
                    epochs=cfg.epochs, output=cfg.output, mesh=mesh,
                    compile_only=True)
     log(f"[prefetch] {cfg.name}: bucket programs compiled in "
@@ -655,7 +672,7 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
     if training_type == "load":
         # load mode never trains, so branch overlap buys nothing
         log("########### ELR ###########")
-        with trace(profile_dir), timer.stage("elr"):
+        with trace(profile_dir, log), timer.stage("elr"):
             # hold compile priority: the suite's background prefetch must
             # not crowd the ELR jits off the serialized compile server
             with sweep_mod.foreground_compile_priority():
@@ -681,14 +698,14 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                 nn_res = nn_fut.result()
     else:
         log("########### ELR ###########")
-        with trace(profile_dir), timer.stage("elr"):
+        with trace(profile_dir, log), timer.stage("elr"):
             # hold compile priority: the suite's background prefetch must
             # not crowd the ELR jits off the serialized compile server
             with sweep_mod.foreground_compile_priority():
                 elr_res = run_elr_branch(cfg, bundles, log, mesh=mesh)
         _save_elr(elr_res)
         log("########### Neural Network ###########")
-        with trace(profile_dir and os.path.join(profile_dir, "nn")), \
+        with trace(profile_dir and os.path.join(profile_dir, "nn"), log), \
                 timer.stage("nn"):
             nn_res = run_nn_branch(cfg, bundles, log, timer=timer,
                                    mesh=mesh, training_type=training_type)

@@ -19,11 +19,15 @@ from typing import Dict, List, Optional
 
 
 @contextlib.contextmanager
-def trace(trace_dir: Optional[str]):
+def trace(trace_dir: Optional[str], log=print):
     """jax.profiler trace context; no-op when trace_dir is None/empty.
 
     The trace is viewable in TensorBoard / Perfetto (plugin 'profile');
     it records XLA ops, fusion boundaries and TPU step time.
+
+    log: where the serialization-cost notice lands — pipelines pass their
+    injected stage logger so the message stays in-stream with stage logs
+    instead of interleaving on raw stdout.
     """
     if not trace_dir:
         yield
@@ -46,8 +50,8 @@ def trace(trace_dir: Optional[str]):
         if t_stop is not None:
             dump_s = time.perf_counter() - t_stop
             if dump_s > 1.0:
-                print(f"[trace] serialized profile to {trace_dir} "
-                      f"in {dump_s:.1f}s (excluded from stage timers)")
+                log(f"[trace] serialized profile to {trace_dir} "
+                    f"in {dump_s:.1f}s (excluded from stage timers)")
 
 
 @dataclass

@@ -56,6 +56,14 @@ def main(argv=None):
                                             "stacked"), default=None,
                     help="override the config's predictor mode "
                          "(preprocessing.py:25-35)")
+    ap.add_argument("--batch-size", dest="batch_size", default=None,
+                    metavar="N|full",
+                    help="override the tuning grid's batch sizes with one "
+                         "value; 'full' trains whole-training-set batches "
+                         "(bs=T) — measured 4.3x step utilization on the "
+                         "v5e at changed SGD semantics (1 step/epoch; "
+                         "PERF.md), an explicit non-parity throughput "
+                         "trade, never a default")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write jax.profiler traces + stage timings to DIR")
@@ -165,14 +173,15 @@ def main(argv=None):
                 cfg, args.date.split(","), out_root=args.out,
                 download=args.download, hindcast_source=args.source,
                 seed=args.seed, synthetic_step=args.step,
-                fetch_indices=args.indices)
+                fetch_indices=args.indices, make_plots=args.plots)
         else:
             from .pipelines.realtime import run_realtime_eval
             _, paths = run_realtime_eval(cfg, out_root=args.out,
                                          source=args.source, seed=args.seed,
                                          synthetic_step=args.step,
                                          download=args.download,
-                                         fetch_indices=args.indices)
+                                         fetch_indices=args.indices,
+                                         make_plots=args.plots)
         print(json.dumps(paths, indent=1))
         return 0
 
@@ -191,6 +200,12 @@ def main(argv=None):
             cfg = replace(cfg, output=args.output)
         if args.predictor:
             cfg = replace(cfg, predictor=args.predictor)
+        if args.batch_size:
+            bs = 0 if args.batch_size == "full" else int(args.batch_size)
+            if args.batch_size != "full" and bs <= 0:
+                raise SystemExit("--batch-size must be positive or 'full'")
+            cfg = replace(cfg, tuning=replace(cfg.tuning,
+                                              batch_sizes=(bs,)))
         return cfg
 
     def _run(cfg, **kw):
@@ -229,7 +244,7 @@ def main(argv=None):
         fingerprint = {k: getattr(args, k) for k in
                        ("fast", "epochs", "folds", "standardize", "output",
                         "predictor", "source", "seed", "step",
-                        "training_type")}
+                        "training_type", "batch_size")}
         t0 = time.time()
         spath = os.path.join(args.out, "suite_summary.json")
         results = {}

@@ -119,6 +119,18 @@ def test_evaluate_realtime_end_to_end(tmp_path, small_model):
     assert res.enso_composites.keys() == {"elnino", "neutral", "lanina"}
     assert len(res.mjo_composites) >= 1
 
+    # the missing notebook's deliverable was MAPS (README.md:22): GradCAM
+    # overlays, p(above) panels, MJO/ENSO composite panels must render
+    import os
+    figs = rt.render_figures(
+        res, np.arange(H, dtype=float), np.arange(H, dtype=float),
+        [f"valid {i}" for i in range(3)], str(tmp_path / "figs"), "wk3-4",
+        tag="t0")
+    assert set(figs) == {"fig_probs", "fig_gradcam", "fig_mjo", "fig_enso"}
+    for p in figs.values():
+        assert os.path.exists(p) and os.path.getsize(p) > 5000
+        assert "figs" in p and p.endswith(".png")
+
 
 def test_analysis_skill_maps():
     from s2s_ismr_tpu import analysis
@@ -238,11 +250,14 @@ def test_pipeline_persists_winners(tmp_path):
     from s2s_ismr_tpu.pipelines.realtime import run_realtime_eval
     res, paths = run_realtime_eval(cfg, out_root=str(tmp_path),
                                    synthetic_step=2.0,
-                                   log=lambda *a: None)
+                                   log=lambda *a: None, make_plots=True)
     assert res.probs.shape[-1] == 3
     assert res.gradcam_maps.shape == res.probs.shape[:-1]
     assert res.mjo_composites and res.enso_composites
     assert all(os.path.exists(p) for p in paths.values())
+    # --plots writes the notebook-deliverable figures under figures/Realtime
+    for k in ("fig_probs", "fig_gradcam", "fig_mjo", "fig_enso"):
+        assert k in paths and "figures" in paths[k], (k, paths)
 
 
 @pytest.mark.slow
