@@ -282,33 +282,44 @@ def test_reference_tuned_fold_statistical_parity(ref_models):
     # ---- reference side: its own build_model inside the training.py loop
     ref_v = np.zeros((len(seeds), F))
     ref_r = np.zeros((len(seeds), F))
+    n_t = len(grid.learning_rates)
+    ref_vt = np.zeros((len(seeds), F, n_t))    # full per-trial val table
     for si, seed in enumerate(seeds):
         for f in range(F):
             tr, va, te = fm.train[f], fm.val[f], fm.test[f]
             best_ref, best_vloss_ref = None, np.inf
-            for lr in grid.learning_rates:
+            for ti, lr in enumerate(grid.learning_rates):
                 km, vloss = _ref_fit_trial(
                     ref_models,
                     UNetConfig(filters=2, n_blocks=3, ct_kernel=(3, 3)),
                     x[tr], y_oh[f][tr], x[va], y_oh[f][va], lr=lr, bs=16,
                     epochs=epochs, patience=grid.patience, seed=seed)
-                if vloss < best_vloss_ref:
+                ref_vt[si, f, ti] = vloss
+                if vloss < best_vloss_ref:   # first-min, training.py:108
                     best_ref, best_vloss_ref = km, vloss
             ref_v[si, f] = best_vloss_ref
             ref_r[si, f] = rpss_mean(best_ref.predict(x, verbose=0),
                                      lab_f[f], te)
+    ref_w = ref_vt.argmin(-1)                  # winning trial per cell
 
     # ---- our side: one vmapped sweep per seed over the same arrays
     ours_v = np.zeros((len(seeds), F))
     ours_r = np.zeros((len(seeds), F))
+    ours_vt = np.zeros((len(seeds), F, n_t))
     for si, seed in enumerate(seeds):
         res = run_unet_sweep(jnp.asarray(x), jnp.asarray(y_oh),
                              fm.train, fm.val, grid, epochs=epochs,
                              base_seed=seed)
         ours_v[si] = res.best_val_loss
+        ours_vt[si] = res.val_loss_table
         for f in range(F):
             ours_r[si, f] = rpss_mean(np.asarray(res.predictions[f]),
                                       lab_f[f], fm.test[f])
+    ours_w = ours_vt.argmin(-1)
+    print("\n[winner-parity] ref_vt:", np.round(ref_vt, 4).tolist())
+    print("[winner-parity] ours_vt:", np.round(ours_vt, 4).tolist())
+    print("[winner-parity] ref_w:", ref_w.tolist(),
+          "ours_w:", ours_w.tolist())
 
     climo_ce = np.log(3.0)
     # every cell learned the signal (under the 1/3-1/3-1/3 entropy floor)
@@ -326,6 +337,32 @@ def test_reference_tuned_fold_statistical_parity(ref_models):
     assert abs(ours_r.mean() - ref_r.mean()) < 0.06, \
         (ours_r.mean(), ref_r.mean())
     assert np.abs(ours_r - ref_r).max() < 0.11, np.abs(ours_r - ref_r)
+
+    # winner-IDENTITY parity (VERDICT r3 item 7): which trial wins each
+    # (seed, fold) cell — the one selection-semantics regression the
+    # val-loss/RPSS bands could miss (e.g. a flipped improvement
+    # comparison keeps losses in-band but inverts winners). Measured
+    # 2026-08-19 (this host, printed tables above): agreement 4/6; the
+    # reference's OWN winners flip across its seeds in close cells
+    # (ref_w [[0,1,0],[1,0,0]]), and both disagreeing cells had the two
+    # lrs' val losses within 0.018 on at least one side — per-cell
+    # identity is SGD-path noise where the gap is small. Bands, all
+    # satisfied by the measurement with headroom:
+    # (a) DECISIVE cells — both sides' trial gap > 0.03 (~2x the
+    #     measured cross-side drift) — must agree on the winner;
+    # (b) agreement rate >= 3/6 (measured 4/6);
+    # (c) marginal winner counts within 2 of 6 (measured 4 vs 4; an
+    #     inverted comparison flips every decisive cell and fails (a)).
+    gap_ref = np.abs(ref_vt[..., 0] - ref_vt[..., 1])
+    gap_ours = np.abs(ours_vt[..., 0] - ours_vt[..., 1])
+    decisive = (gap_ref > 0.03) & (gap_ours > 0.03)
+    assert (ref_w[decisive] == ours_w[decisive]).all(), \
+        (ref_w.tolist(), ours_w.tolist(), gap_ref.tolist(),
+         gap_ours.tolist())
+    assert int((ref_w == ours_w).sum()) >= 3, \
+        (ref_w.tolist(), ours_w.tolist())
+    marg_diff = abs(int((ref_w == 0).sum()) - int((ours_w == 0).sum()))
+    assert marg_diff <= 2, (ref_w.tolist(), ours_w.tolist())
 
 
 @pytest.mark.slow
