@@ -80,6 +80,26 @@ class PipelineConfig:
             return self.custom_leads[model]
         return self.custom_lead or LEAD_MAPPING[self.week]
 
+    def with_week(self, week):
+        """Re-target the config at another lead week.
+
+        The reference's documented usage is editing the script constant
+        and re-running (tune_ECMWF_com.py:31 `week = "wk3-4"  #wk1, wk2
+        or wk3-4`) — that is how its Bar_plot matrix rows for wk1/wk2
+        get produced. Overriding the week here reverts custom_lead /
+        custom_leads to the standard LEAD_MAPPING: in the reference a
+        hardcoded custom_lead silently WINS over an edited week
+        (dataloader.py:170-173) while the output filenames carry the new
+        week's name — we implement the intended contract (leads that
+        match the week), not the footgun. A same-week call is a no-op,
+        preserving the config's own custom leads."""
+        if week not in LEAD_MAPPING:
+            raise KeyError(f"week must be one of {sorted(LEAD_MAPPING)}, "
+                           f"got {week!r}")
+        if week == self.week:
+            return self
+        return replace(self, week=week, custom_lead=None, custom_leads=None)
+
     def fast_variant(self, n_bootstraps=2, epochs=6):
         """Shrunken config for smoke runs/CI: fewer folds/epochs, a 2-trial
         grid. Not part of reference parity — a framework affordance.

@@ -43,6 +43,13 @@ def main(argv=None):
                          "grid and no early stopping (training.py:119-125)"
                          "; 'load' replays the winner checkpoints "
                          "persisted by a prior run")
+    ap.add_argument("--week", default=None,
+                    help="re-target the config at another lead week "
+                         "(wk1, wk2, wk3-4) — the reference edits the "
+                         "script constant for this (tune_ECMWF_com.py:31)."
+                         " `suite` accepts a comma list and runs the "
+                         "configs x weeks cross product, filling the "
+                         "Bar_plot matrix rows for every lead")
     ap.add_argument("--standardize", action="store_true",
                     help="per-pixel standardize x/y over T before splits "
                          "(bootstrap_splits standardize= option)")
@@ -104,6 +111,8 @@ def main(argv=None):
                          "mask_*]) overriding the default Bar_plot.ipynb "
                          "cell-5 matrix")
     args = ap.parse_args(argv)
+    if args.week and args.config != "suite" and "," in args.week:
+        raise SystemExit("--week takes a single week outside `suite`")
     if args.source is None:
         # operational realtime fits tercile edges on the hindcast record;
         # a synthetic default there would silently score real forecasts
@@ -167,6 +176,8 @@ def main(argv=None):
             cfg = replace(cfg, predictor=args.predictor)
         if args.standardize:
             cfg = replace(cfg, standardize=True)
+        if args.week:
+            cfg = cfg.with_week(args.week)
         if args.date:
             from .pipelines.realtime import run_realtime_forecast
             _, paths = run_realtime_forecast(
@@ -231,10 +242,22 @@ def main(argv=None):
         import time
         names = (args.configs.split(",") if args.configs
                  else [n for n in CONFIGS])
+        weeks = args.week.split(",") if args.week else [None]
         # resolve every name up front: a typo in the 3rd config must not
         # abort the session after an hour of work on the first two
         try:
-            cfgs = [_resolve(nm) for nm in names]
+            from dataclasses import replace as _replace
+            cfgs = []
+            for nm in names:
+                base = _resolve(nm)
+                for w in weeks:
+                    c = base.with_week(w) if w else base
+                    if len(weeks) > 1:
+                        # distinct summary keys per (config, week); the
+                        # output tree needs no suffix — filenames carry
+                        # the week (reference layout, Bar_plot reads it)
+                        c = _replace(c, name=f"{c.name}[{w}]")
+                    cfgs.append(c)
         except KeyError as e:
             print(f"error: {e.args[0]}", file=sys.stderr)
             return 2
@@ -244,7 +267,7 @@ def main(argv=None):
         fingerprint = {k: getattr(args, k) for k in
                        ("fast", "epochs", "folds", "standardize", "output",
                         "predictor", "source", "seed", "step",
-                        "training_type", "batch_size")}
+                        "training_type", "batch_size", "week")}
         t0 = time.time()
         spath = os.path.join(args.out, "suite_summary.json")
         results = {}
@@ -332,6 +355,8 @@ def main(argv=None):
 
     try:
         cfg = _resolve(args.config)
+        if args.week:
+            cfg = cfg.with_week(args.week)
     except KeyError as e:
         print(f"error: {e.args[0]}", file=sys.stderr)
         return 2

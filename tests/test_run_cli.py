@@ -263,6 +263,89 @@ def test_compile_with_retry_transient():
         _compile_with_retry(f3, attempts=2)
 
 
+def test_with_week_semantics():
+    """--week implements the reference's intended re-targeting contract
+    (tune_ECMWF_com.py:31 edits `week`): a different week reverts
+    custom_lead/custom_leads to LEAD_MAPPING (in the reference a stale
+    custom_lead silently wins over the edited week, dataloader.py:170-173
+    — a footgun, not a feature); the same week is a no-op."""
+    cfg = get_config("tune_ECMWF_com")          # custom_lead (16, 30)
+    wk1 = cfg.with_week("wk1")
+    assert wk1.week == "wk1" and wk1.custom_lead is None
+    assert wk1.lead() == (2, 8)
+    assert cfg.with_week("wk3-4") is cfg        # same week keeps (16, 30)
+    assert cfg.with_week("wk3-4").lead() == (16, 30)
+    mme = get_config("tune_MME")                # per-model custom_leads
+    assert mme.with_week("wk1").lead("ECMWF") == (2, 8)
+    assert mme.with_week("wk3-4").lead("ECMWF") == (16, 30)
+    with pytest.raises(KeyError):
+        cfg.with_week("wk5")
+
+
+def test_week_comma_rejected_outside_suite():
+    with pytest.raises(SystemExit):
+        cli.main(["tune_ECMWF_com", "--week", "wk1,wk2", "--fast"])
+
+
+def test_suite_week_cross_product(tmp_path, monkeypatch):
+    """suite --week a,b runs the configs x weeks cross product with
+    distinct summary keys, and each expanded config carries the right
+    week + standard lead (fills the Bar_plot matrix rows per lead)."""
+    import numpy as np
+    from types import SimpleNamespace
+
+    seen = []
+
+    def fake_run_pipeline(cfg, **kw):
+        seen.append((cfg.name, cfg.week, cfg.lead()))
+        fld = SimpleNamespace(values=np.zeros((2, 4, 4)))
+        return SimpleNamespace(elr=SimpleNamespace(rpss_test=fld),
+                               nn=SimpleNamespace(rpss_test=fld),
+                               elapsed_s=1.0, paths={}, figures={})
+
+    from s2s_ismr_tpu.pipelines import tune as tune_mod
+    monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+    monkeypatch.setattr(tune_mod, "prefetch_nn_programs",
+                        lambda *a, **k: 0)
+
+    out = str(tmp_path)
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com",
+                     "--week", "wk1,wk3-4", "--fast", "--out", out]) == 0
+    assert seen == [("tune_ECMWF_com[wk1]", "wk1", (2, 8)),
+                    ("tune_ECMWF_com[wk3-4]", "wk3-4", (16, 30))]
+    with open(tmp_path / "suite_summary.json") as fh:
+        s = json.load(fh)
+    assert set(s["configs"]) == {"tune_ECMWF_com[wk1]",
+                                 "tune_ECMWF_com[wk3-4]"}
+    assert s["settings"]["week"] == "wk1,wk3-4"
+
+    # a bad week aborts up front, before any pipeline work
+    seen.clear()
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com",
+                     "--week", "wk9", "--fast", "--out", out]) == 2
+    assert seen == []
+
+
+@pytest.mark.slow
+def test_week_override_pipeline_end_to_end(tmp_path):
+    """A week-overridden fast pipeline writes the wk1-named outputs tree
+    and persists wk1-fingerprinted winners (the filesystem contract
+    Bar_plot.ipynb cell 5 reads per lead)."""
+    import dataclasses
+    from s2s_ismr_tpu.pipelines.tune import run_pipeline
+    cfg = dataclasses.replace(get_config("tune_ECMWF_com").fast_variant(),
+                              years=(2003, 2012), epochs=3).with_week("wk1")
+    out = run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                       synthetic_step=2.0, log=lambda *a: None)
+    odir = tmp_path / "outputs" / "Common Period" / "ECMWF_IMD"
+    assert (odir / "ELR_rpss_test_wk1.nc").exists()
+    assert (odir / "unet_rpss_test_wk1.nc").exists()
+    mdir = tmp_path / "models" / "Common Period" / "ECMWF_IMD" / "wk1"
+    with open(mdir / "winners_wk1.json") as fh:
+        manifest = json.load(fh)
+    assert manifest and manifest[0]["fingerprint"]["week"] == "wk1"
+
+
 def test_fast_variant_keeps_native_grid():
     """ECMWF_full --fast must keep its divisible native grid (a cleared
     synthetic_grid regressed to an indivisible 34x35 abort)."""
