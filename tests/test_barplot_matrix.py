@@ -81,6 +81,36 @@ def test_barplot_full_matrix_figures(tmp_path):
     assert all(p.endswith(".nc") for p in paths["skipped"])
 
 
+def test_weeks_cross_product_fills_every_fillable_row(tmp_path):
+    """`suite --week wk1,wk2,wk3-4` writes the complete output tree the
+    reference's own 8 scripts can produce (each re-run per lead by
+    editing its `week` constant): 3 single models x 2 periods + the
+    MME/2MME blends, each at all 3 weeks. Over that tree the 108-row
+    cell-5 probe matrix fills exactly its 48 reference-producible rows;
+    the other 60 probe trees no reference script ever writes (Common/
+    Full-period MME_IMD dirs, single-model dirs under MME/2MME) and
+    stay reported-as-skipped, mirroring the notebook's KeyError-skip."""
+    root = str(tmp_path)
+    for week in ("wk1", "wk2", "wk3-4"):
+        for m in ("ECMWF", "IITM", "GEFS"):
+            _write_rpss(root, "Common Period", m, week)
+            _write_rpss(root, "Full Period", m, week)
+        _write_rpss(root, "MME", "MME", week)
+        _write_rpss(root, "2MME", "2MME", week)
+    paths = notebooks.run_barplot(out_root=root, log=lambda *a: None)
+    fillable = (3 * 2 + 1 + 1) * 3 * 2          # = 48
+    assert len(paths["skipped"]) == (4 * 5 - 2) * 3 * 2 - fillable
+    skipped_models = {os.sep + "MME_IMD" + os.sep in p
+                      or os.sep + "2MME_IMD" + os.sep in p
+                      for p in paths["skipped"]
+                      if "Common Period" in p or "Full Period" in p}
+    assert skipped_models == {True}      # only blend dirs under single
+    # periods (and single models under MME/2MME) remain unfillable
+    for key in ("by_model", "by_lead", "full_period_ELR",
+                "full_period_unet", "mme_ELR", "mme_unet", "mme_compare"):
+        assert os.path.exists(paths[key]), key
+
+
 def test_barplot_without_mme_skips_mme_figures(tmp_path):
     root = str(tmp_path)
     _write_rpss(root, "Common Period", "ECMWF", "wk3-4")
