@@ -31,6 +31,7 @@ import argparse
 import io
 import json
 import os
+import re
 import sys
 import time
 import traceback
@@ -132,9 +133,17 @@ def main(argv=None):
             with redirect_stdout(buf):
                 rc = cli.main(leg_argv)
             out = buf.getvalue()
-            try:
-                payload = json.loads(out)
-            except json.JSONDecodeError:
+            # pipeline stage logs share stdout with the CLI's final JSON
+            # summary — parse the LAST top-level JSON object, not the
+            # whole stream
+            payload = None
+            for m in reversed(list(re.finditer(r"^\{", out, re.M))):
+                try:
+                    payload = json.loads(out[m.start():])
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if payload is None:
                 payload = {"stdout_tail": out[-2000:]}
             results[name] = {"argv": leg_argv, "rc": rc,
                              "wall_s": round(time.time() - t0, 2),

@@ -134,6 +134,7 @@ def main():
             return wall, int(np.asarray(out[1]).sum()), np.asarray(out[0])
 
         rows = []
+        agree = None        # set only when Ls includes the full lane count
         s1_wall, s1_steps, _ = run_serial(1)
         rows.append(("serial x1", 1, s1_wall, s1_steps))
         for L in spec["Ls"]:
@@ -157,7 +158,8 @@ def main():
             rel = w / serial_walls[L] if L in serial_walls else float("nan")
             print(f"{nm:<14}{L:>6}{w:>9.2f}{s:>8}{s / w:>9.0f}{rel:>12.2f}")
         print(f"max |dvloss| vmap-vs-serial @ {spec['lanes']} lanes: "
-              f"{agree:.2e}; scan-vs-serial: {scan_agree:.2e}", flush=True)
+              f"{'n/a' if agree is None else format(agree, '.2e')}; "
+              f"scan-vs-serial: {scan_agree:.2e}", flush=True)
         results[name] = rows
 
     with open("/tmp/lane_regime_probe.json", "w") as f:

@@ -729,12 +729,10 @@ def run_pipeline(cfg: PipelineConfig, source="synthetic", out_root=".",
                     input_shape=(1, *shp, c_in), fingerprint=fingerprint)
             elif n in nn_res.fixed_winners:
                 var_list, vloss, ucfg = nn_res.fixed_winners[n]
-                g = cfg.tuning
-                hp = {"architecture": arch, "lr": g.learning_rates[0],
-                      "batch_size": g.batch_sizes[0]}
-                if ucfg is not None:
-                    hp.update(ct_kernel=ucfg.ct_kernel,
-                              filters=ucfg.filters, blocks=ucfg.n_blocks)
+                # the hp actually trained with (resolve_batch_sizes has
+                # already replaced a `full` sentinel with T here — the
+                # raw cfg.tuning grid would record batch_size=0)
+                hp = dict(nn_res.best_hparams[0][n])
                 paths[f"winners_{n}"] = checkpoint.save_fixed_winners(
                     var_list, vloss, mdir, cfg.week, architecture=arch,
                     input_shape=(1, *shp, c_in), hparams=hp,

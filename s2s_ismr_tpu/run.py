@@ -111,8 +111,23 @@ def main(argv=None):
                          "mask_*]) overriding the default Bar_plot.ipynb "
                          "cell-5 matrix")
     args = ap.parse_args(argv)
-    if args.week and args.config != "suite" and "," in args.week:
-        raise SystemExit("--week takes a single week outside `suite`")
+    if args.week:
+        from .pipelines.configs import LEAD_MAPPING
+        if args.config != "suite" and "," in args.week:
+            raise SystemExit("--week takes a single week outside `suite`")
+        wk_list = args.week.split(",")
+        bad = [w for w in wk_list if w not in LEAD_MAPPING]
+        if bad:
+            # catches typos AND stray empties ('wk1,' would otherwise
+            # silently run the config's BASE week under a '[ ]' key)
+            print(f"error: unknown week(s) {bad}; choose from "
+                  f"{sorted(LEAD_MAPPING)}", file=sys.stderr)
+            return 2
+        if len(set(wk_list)) != len(wk_list):
+            # duplicates would run the pipeline twice under one summary
+            # key, the second silently overwriting the first
+            print("error: duplicate weeks in --week", file=sys.stderr)
+            return 2
     if args.source is None:
         # operational realtime fits tercile edges on the hindcast record;
         # a synthetic default there would silently score real forecasts
@@ -212,9 +227,14 @@ def main(argv=None):
         if args.predictor:
             cfg = replace(cfg, predictor=args.predictor)
         if args.batch_size:
-            bs = 0 if args.batch_size == "full" else int(args.batch_size)
+            try:
+                bs = 0 if args.batch_size == "full" else int(args.batch_size)
+            except ValueError:
+                raise SystemExit("--batch-size must be a positive integer "
+                                 "or 'full'") from None
             if args.batch_size != "full" and bs <= 0:
-                raise SystemExit("--batch-size must be positive or 'full'")
+                raise SystemExit("--batch-size must be a positive integer "
+                                 "or 'full'")
             cfg = replace(cfg, tuning=replace(cfg.tuning,
                                               batch_sizes=(bs,)))
         return cfg

@@ -287,6 +287,27 @@ def test_week_comma_rejected_outside_suite():
         cli.main(["tune_ECMWF_com", "--week", "wk1,wk2", "--fast"])
 
 
+def test_week_list_validated_up_front(capsys):
+    """Malformed --week lists fail before any pipeline work: a stray
+    empty entry ('wk1,' would silently run the BASE week under a '[]'
+    summary key) and duplicates (second run would overwrite the first's
+    summary slot) are both rejected with exit 2."""
+    assert cli.main(["suite", "--week", "wk1,", "--fast"]) == 2
+    assert "unknown week" in capsys.readouterr().err
+    assert cli.main(["suite", "--week", "wk1,wk1", "--fast"]) == 2
+    assert "duplicate" in capsys.readouterr().err
+    # realtime path: a bad week is a clean exit 2, not a KeyError
+    assert cli.main(["realtime", "--from-config", "tune_ECMWF_com",
+                     "--week", "wk9"]) == 2
+    assert "unknown week" in capsys.readouterr().err
+
+
+def test_batch_size_non_integer_rejected():
+    for bad in ("1.5", "abc"):
+        with pytest.raises(SystemExit, match="batch-size"):
+            cli.main(["tune_ECMWF_com", "--batch-size", bad, "--fast"])
+
+
 def test_suite_week_cross_product(tmp_path, monkeypatch):
     """suite --week a,b runs the configs x weeks cross product with
     distinct summary keys, and each expanded config carries the right

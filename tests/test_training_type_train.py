@@ -108,6 +108,31 @@ def test_cnn_fixed_load_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_batch_size_full_train_manifest_records_resolved_bs(tmp_path):
+    """`--batch-size full --training-type train`: the winner manifest
+    must record the RESOLVED batch size (T), not the `full` sentinel 0
+    the raw grid carries — it must agree with best_hparams_<week>.json
+    (regression: persistence recomputed hp from the unresolved
+    cfg.tuning)."""
+    cfg = _fast_cfg()
+    cfg = dataclasses.replace(
+        cfg, tuning=dataclasses.replace(cfg.tuning, batch_sizes=(0,)))
+    out = run_pipeline(cfg, source="synthetic", out_root=str(tmp_path),
+                       synthetic_step=2.0, log=lambda *a: None,
+                       training_type="train")
+    mdir = tmp_path / "models" / cfg.out_dir / "ECMWF_IMD" / cfg.week
+    with open(mdir / f"winners_{cfg.week}.json") as fh:
+        manifest = json.load(fh)
+    bs = manifest[0]["hparams"]["batch_size"]
+    assert bs > 0, "manifest recorded the unresolved 'full' sentinel"
+    assert bs == out.nn.best_hparams[0]["ECMWF"]["batch_size"]
+    odir = tmp_path / "outputs" / cfg.out_dir / "ECMWF_IMD"
+    with open(odir / f"best_hparams_{cfg.week}.json") as fh:
+        best = json.load(fh)
+    assert bs == best[0]["ECMWF"]["batch_size"]
+
+
+@pytest.mark.slow
 def test_mlp_train_mode_runs(tmp_path):
     """'train' also reaches cnn/mlp (no early exit, all epochs)."""
     cfg = _fast_cfg(architecture="mlp")
