@@ -139,7 +139,12 @@ def main(argv=None):
             payload = None
             for m in reversed(list(re.finditer(r"^\{", out, re.M))):
                 try:
-                    payload = json.loads(out[m.start():])
+                    # raw_decode ignores trailing text, so a log line
+                    # printed AFTER the CLI's JSON summary cannot make
+                    # every candidate fail (json.loads on the full
+                    # remainder required the JSON to end the stream)
+                    payload, _ = json.JSONDecoder().raw_decode(out,
+                                                               m.start())
                     break
                 except json.JSONDecodeError:
                     continue

@@ -31,8 +31,11 @@ ACC_LEADS_ECMWF = {**ACC_LEADS, "wk4": (23, 30), "wk3-4": (16, 30)}
 def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
              source="synthetic", out_root=".", years=(2003, 2018),
              obs="IMD", domain=None, seed=0, step=2.0, make_plots=False,
-             log=print) -> Dict[str, dict]:
-    """CC/ACC skill-map sweep across models and lead weeks."""
+             fig_format="png", log=print) -> Dict[str, dict]:
+    """CC/ACC skill-map sweep across models and lead weeks.
+
+    fig_format: 'png' or 'pdf' — the notebook exports every figure as a
+    dpi-300 PDF (ACCs.ipynb cells 10-13/23-25/36-38)."""
     from ..grid import Domain
     domain = domain or Domain(67, 98, 7, 38)
     out: Dict[str, dict] = {}
@@ -91,14 +94,19 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
             figdir = os.path.join(out_root, "figures", "ACC",
                                   f"{model}_{obs}")
             for wk, sm in maps.items():
-                coords = {"Y": sm.lats, "X": sm.lons}
-                paths[f"fig_{wk}"] = next(iter(vmaps.plot_rpss_panels(
-                    {"CC": Field(sm.cc[None], ("bootstrap", "Y", "X"),
-                                 coords, "cc"),
-                     "ACC": Field(sm.acc[None], ("bootstrap", "Y", "X"),
-                                  coords, "acc")},
-                    sm.lats, sm.lons, figdir, f"CCACC_{wk}",
-                    vmin=-0.6, vmax=0.6).values()))
+                # separate CC and ACC figures with the notebook's exact
+                # styling (cells 13/25/38): discrete 0.1 levels, CC to
+                # +-0.6 / ACC to +-0.5, RdBu_r pinned at +-0.4
+                for metric, vals, levels in (
+                        ("CC", sm.cc, vmaps.CC_LEVELS),
+                        ("ACC", sm.acc, vmaps.ACC_LEVELS)):
+                    paths[f"fig_{metric.lower()}_{wk}"] = \
+                        vmaps.plot_skill_map(
+                            vals, sm.lats, sm.lons,
+                            os.path.join(
+                                figdir, f"{metric}_{wk}.{fig_format}"),
+                            title=f"{metric} {model} {wk}",
+                            levels=levels)
                 # mm/day climatology maps — the notebook renders these
                 # ONLY for the weeks3-4 window (cells 10-11/23/36 all
                 # plot x_week34/y_week34); ECMWF's forecast field is a
@@ -108,10 +116,11 @@ def run_accs(models: Sequence[str] = ("IITM", "ECMWF", "GEFS"),
                     scale = 1.0 / 14.0 if model == "ECMWF" else 1.0
                     paths[f"fig_climo_obs_{wk}"] = vmaps.plot_climatology(
                         sm.climatology, sm.lats, sm.lons,
-                        os.path.join(figdir, f"climo_obs_{wk}.png"))
+                        os.path.join(figdir,
+                                     f"climo_obs_{wk}.{fig_format}"))
                     paths[f"fig_climo_{wk}"] = vmaps.plot_climatology(
                         sm.climatology_fcst * scale, sm.lats, sm.lons,
-                        os.path.join(figdir, f"climo_{wk}.png"))
+                        os.path.join(figdir, f"climo_{wk}.{fig_format}"))
         out[model] = paths
     return out
 

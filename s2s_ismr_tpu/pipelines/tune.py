@@ -100,12 +100,16 @@ def _apply_pad(cfg: PipelineConfig, b: DataBundle) -> DataBundle:
     return replace(b, x=x, y=y, lats=lats)
 
 
-# module-level jits: JAX's program cache keys on function identity, so a
-# per-call lambda recompiles the same program for every config in a suite
-# session (20-500 s each through the remote-compile TPU backend); these
-# compile once per process per input-shape set
-@jax.jit
-def _elr_fit_folds(y, weeks, train_masks, wm):
+# module-level jits routed through the process program memo
+# (programs.memoized_call): JAX's own program cache keys on function
+# identity, so a per-call lambda recompiles the same program for every
+# config in a suite session (20-500 s each through the remote-compile TPU
+# backend) — and jit's cache cannot be warmed by a background thread
+# (`.lower().compile()` does not populate it). The memo route compiles
+# once per process per input-shape set AND lets the suite's prefetch
+# thread compile these from avals while the previous config trains
+# (the ELR stage was the round-4 weeks-suite's critical-path floor).
+def _elr_fit_impl(y, weeks, train_masks, wm):
     def fold_fit(pm):
         e, p = terciles.rolling_edges(y, weeks, pm, wm)
         return (terciles.elr_targets(y, weeks, e, p),
@@ -113,10 +117,41 @@ def _elr_fit_folds(y, weeks, train_masks, wm):
     return jax.vmap(fold_fit)(train_masks)
 
 
-@jax.jit
-def _rpss_folds_j(climo, preds, labels, masks):
-    return jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0))(
-        climo, preds, labels, masks)
+_elr_fit_jit = jax.jit(_elr_fit_impl)
+
+
+def _elr_fit_folds(y, weeks, train_masks, wm, compile_only=False):
+    from ..programs import memoized_call
+    return memoized_call("elr_fit_folds", _elr_fit_jit,
+                         (y, weeks, train_masks, wm),
+                         compile_only=compile_only,
+                         background=compile_only)
+
+
+_rpss_folds_jit = jax.jit(jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0)))
+
+
+def _rpss_folds_j(climo, preds, labels, masks, compile_only=False):
+    from ..programs import memoized_call
+    return memoized_call("rpss_folds", _rpss_folds_jit,
+                         (climo, preds, labels, masks),
+                         compile_only=compile_only,
+                         background=compile_only)
+
+
+# per-fold rolling-tercile fit+label for the NN branch (_nn_setup): the
+# same program recompiled per config when it was a per-call vmapped lambda
+_fit_label_jit = jax.jit(jax.vmap(
+    lambda y, weeks, pm, wm: terciles.fit_and_label(y, weeks, pm, wm, None),
+    in_axes=(None, None, 0, None)))
+
+
+def _fit_label_folds(y, weeks, train_masks, wm, compile_only=False):
+    from ..programs import memoized_call
+    return memoized_call("fit_label_folds", _fit_label_jit,
+                         (y, weeks, train_masks, wm),
+                         compile_only=compile_only,
+                         background=compile_only)
 
 
 # -------------------------------------------------------------- ELR branch
@@ -221,10 +256,8 @@ def _nn_setup(cfg: PipelineConfig, bundles, log):
             f"val={sorted(fm.val_years[i])} test={sorted(fm.test_years[i])}")
 
     wm = timeutils.week_window_matrix(1)
-    lab_folds, edges_folds, present_folds = jax.vmap(
-        lambda pm: terciles.fit_and_label(y_shared, first.weeks, pm, wm,
-                                          None)
-    )(jnp.asarray(fm.train))
+    lab_folds, edges_folds, present_folds = _fit_label_folds(
+        y_shared, first.weeks, jnp.asarray(fm.train), wm)
     y_oh = jnp.nan_to_num(terciles.one_hot_labels(lab_folds), nan=0.0)
     return (names, filled, first, fm, np.asarray(lab_folds), y_oh,
             (edges_folds, present_folds))
@@ -494,31 +527,77 @@ def resolve_batch_sizes(grid: TuningGrid, T: int) -> TuningGrid:
     return replace(grid, batch_sizes=tuple(seen))
 
 
+def _prefetch_elr_programs(cfg: PipelineConfig, bundles, log, mesh=None):
+    """Compile (never execute) the ELR branch's programs from avals into
+    the process memo: the per-fold labeler fit (_elr_fit_folds), the
+    pixel-parallel GLM (elr_folds) and the fold-vmapped RPSS — mirroring
+    run_elr_branch's exact shapes. Round 4 measured the ELR stage as the
+    suite's critical-path floor (2,612 s of the 24-combo weeks session;
+    719-2,045 s for a single config in a bad remote-compile window, vs
+    ~5.5 s warm) precisely because only the NN buckets were covered by
+    the compile-ahead machinery."""
+    names = list(bundles)
+    first = bundles[names[0]]
+    fm = splits.bootstrap_masks_elr(first.years, cfg.n_bootstraps,
+                                    frac_test=cfg.elr_frac_test)
+    wm = timeutils.week_window_matrix(1)
+    F = fm.train.shape[0]
+    yshape = tuple(first.y.shape)                       # (T, Y, X)
+    f32 = jnp.float32
+    y_av = jax.ShapeDtypeStruct(yshape, f32)
+    tm = jnp.asarray(fm.train)
+    _elr_fit_folds(y_av, first.weeks, tm, wm, compile_only=True)
+    elr_ops.elr_folds(
+        jax.ShapeDtypeStruct(yshape, f32),              # x ensemble mean
+        jax.ShapeDtypeStruct((F, 2) + yshape, f32),     # cumulative targets
+        fm.train, fm.test, y_av, mesh=mesh, compile_only=True)
+    _rpss_folds_j(jax.ShapeDtypeStruct(yshape + (3,), f32),
+                  jax.ShapeDtypeStruct((F,) + yshape + (3,), f32),
+                  jax.ShapeDtypeStruct((F,) + yshape, f32),
+                  tm, compile_only=True)
+    log(f"[prefetch] {cfg.name}: ELR programs compiled")
+    return 3
+
+
 def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
                          synthetic_step=None, log=print, use_mesh="auto"):
-    """Compile (never execute) a config's NN bucket programs into the
-    sweep's process memo, so a `run suite` session can overlap config
-    N+1's remote compilation (20-500 s/program on this backend) with
-    config N's on-device execution. Only the SHAPES of the inputs reach
-    the compiled program, so dummy labels suffice; everything static —
-    tuning grid, TrainSettings (incl. the mask-derived val_rows), pad,
-    predictor/output mode — is reproduced exactly as run_nn_branch would.
-    Safe to skip on failure: the real run compiles whatever is missing."""
-    if cfg.architecture != "unet":
-        return 0                 # cnn/mlp programs are cheap single trials
+    """Compile (never execute) a config's device programs into the
+    process memo, so a `run suite` session can overlap config N+1's
+    remote compilation (20-500 s/program on this backend) with config
+    N's on-device execution: the ELR branch's fit/GLM/RPSS programs, the
+    NN labeling program, and the U-Net bucket programs. Only the SHAPES
+    of the inputs reach the compiled programs, so avals/dummy labels
+    suffice; everything static — tuning grid, TrainSettings (incl. the
+    mask-derived val_rows), pad, predictor/output mode — is reproduced
+    exactly as run_elr_branch/run_nn_branch would. Safe to skip on
+    failure: the real run compiles whatever is missing."""
     bundles = load_bundles(cfg, source, seed=seed,
                            synthetic_step=synthetic_step)
     bundles = {n: _apply_pad(cfg, b) for n, b in bundles.items()}
+    # mirror run_pipeline's mesh choice — a prefetch compiled for the
+    # wrong topology has memo keys the real run never looks up
+    mesh = None
+    if use_mesh and (use_mesh != "auto" or len(jax.devices()) > 1):
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.sweep_mesh()
+    n = _prefetch_elr_programs(cfg, bundles, log, mesh=mesh)
+    if cfg.architecture != "unet":
+        return n             # cnn/mlp programs are cheap single trials
     names = list(bundles)
-    filled = {n: b.fillna(0.0) for n, b in bundles.items()}
+    filled = {n_: b.fillna(0.0) for n_, b in bundles.items()}
     if cfg.predictor == "stacked":
         if cfg.is_mme:
-            return 0                               # rejected by the run
-        filled = {n: b.stacked() for n, b in filled.items()}
+            return n                               # rejected by the run
+        filled = {n_: b.stacked() for n_, b in filled.items()}
     first = filled[names[0]]
     fm = splits.bootstrap_masks(first.years, cfg.n_bootstraps,
                                 frac_valid=cfg.nn_frac_valid,
                                 frac_test=cfg.nn_frac_test)
+    # the NN branch's per-fold labeling program (same memo route)
+    _fit_label_folds(jax.ShapeDtypeStruct(tuple(first.y.shape),
+                                          jnp.float32),
+                     first.weeks, jnp.asarray(fm.train),
+                     timeutils.week_window_matrix(1), compile_only=True)
     # all of a config's models share one grid/T (MME asserts alignment),
     # so one model's shapes compile the programs for every sweep. Only
     # avals of the big tensors are passed — the prefetch runs WHILE the
@@ -530,12 +609,6 @@ def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
     n_out = 1 if cfg.output == "deterministic" else 3
     y_dummy = jax.ShapeDtypeStruct(
         (fm.n_folds,) + first.y.shape + (n_out,), jnp.float32)
-    # mirror run_pipeline's mesh choice — a prefetch compiled for the
-    # wrong topology has memo keys the real run never looks up
-    mesh = None
-    if use_mesh and (use_mesh != "auto" or len(jax.devices()) > 1):
-        from ..parallel import mesh as pmesh
-        mesh = pmesh.sweep_mesh()
     t0 = time.time()
     run_unet_sweep(x, y_dummy, fm.train, fm.val,
                    resolve_batch_sizes(cfg.tuning, x_shape[0]),
@@ -543,7 +616,7 @@ def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
                    compile_only=True)
     log(f"[prefetch] {cfg.name}: bucket programs compiled in "
         f"{time.time() - t0:.1f}s")
-    return 1
+    return n + 2
 
 
 def _deterministic_to_probs(preds, weeks, edges_pr):

@@ -15,6 +15,39 @@ import json
 import sys
 
 
+def _check_suite(results, expected_path):
+    """Regression gate (suite --check): per-config elr/nn RPSS test means
+    vs a checked-in expectation file. The suite's skill outputs measured
+    bit-identical across three consecutive production sessions on the
+    v5e (PERF.md 'Skill outputs'); this turns that property into a CI
+    check so perf work cannot silently move skill. Returns a list of
+    human-readable failure strings (empty = pass); expected configs that
+    were not run this session are reported but do not fail (a --configs
+    subset run checks only its subset)."""
+    with open(expected_path) as fh:
+        expected = json.load(fh)
+    tol = float(expected.get("tolerance", 0.0))
+    failures = []
+    for name, want in expected.get("configs", {}).items():
+        got = results.get(name)
+        if got is None:
+            print(f"[check] skip {name}: not run this session",
+                  file=sys.stderr)
+            continue
+        if "error" in got:
+            failures.append(f"{name}: run errored: {got['error']}")
+            continue
+        for key in ("elr_rpss_test_mean", "nn_rpss_test_mean"):
+            if key not in want:
+                continue
+            drift = abs(float(got[key]) - float(want[key]))
+            if not (drift <= tol):        # catches NaN too
+                failures.append(
+                    f"{name}.{key}: got {got[key]!r}, expected "
+                    f"{want[key]!r} (drift {drift:.3e} > tol {tol:.1e})")
+    return failures
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="s2s_ismr_tpu.run", description=__doc__)
     ap.add_argument("config", nargs="?", help="pipeline name (e.g. tune_ECMWF_com)")
@@ -76,12 +109,26 @@ def main(argv=None):
                     help="write jax.profiler traces + stage timings to DIR")
     ap.add_argument("--models", default=None,
                     help="comma-separated model list for `accs`")
+    ap.add_argument("--fig-format", dest="fig_format", default="png",
+                    choices=("png", "pdf"),
+                    help="accs: figure file format — the reference "
+                         "notebook exports dpi-300 PDFs (ACCs.ipynb "
+                         "cells 10-13/23-25/36-38)")
     ap.add_argument("--configs", default=None,
                     help="comma-separated config list for `suite` "
                          "(default: all tune configs)")
     ap.add_argument("--resume", action="store_true",
                     help="suite: skip configs already recorded in "
                          "<out>/suite_summary.json from a prior run")
+    ap.add_argument("--check", default=None, metavar="JSON",
+                    help="suite: regression gate — compare each config's "
+                         "elr/nn_rpss_test_mean against the expected "
+                         "values in JSON ({'tolerance': t, 'configs': "
+                         "{name: {...}}}) and exit 1 on drift beyond the "
+                         "tolerance. The suite's skill outputs are "
+                         "bit-identical session-to-session on one "
+                         "backend (PERF.md), so perf changes cannot be "
+                         "allowed to silently move skill")
     ap.add_argument("--from-config", dest="from_config",
                     default="tune_ECMWF_com",
                     help="tune config whose winners `realtime` evaluates")
@@ -111,8 +158,13 @@ def main(argv=None):
                          "mask_*]) overriding the default Bar_plot.ipynb "
                          "cell-5 matrix")
     args = ap.parse_args(argv)
-    if args.week:
+    if args.week and args.config and not args.list:
         from .pipelines.configs import LEAD_MAPPING
+        if args.config in ("barplot", "accs"):
+            # these aggregate EXISTING outputs across all weeks; silently
+            # ignoring --week would look like a filter that never applied
+            raise SystemExit(f"--week is not consumed by `{args.config}` "
+                             f"(use --runs to select barplot rows)")
         if args.config != "suite" and "," in args.week:
             raise SystemExit("--week takes a single week outside `suite`")
         wk_list = args.week.split(",")
@@ -160,9 +212,11 @@ def main(argv=None):
         kw = {}
         if args.models:
             kw["models"] = tuple(args.models.split(","))
+        # logs to stderr: stdout stays machine-readable JSON (as barplot)
         out = run_accs(source=args.source, out_root=args.out,
                        seed=args.seed, step=args.step or 2.0,
-                       make_plots=args.plots, **kw)
+                       make_plots=args.plots, fig_format=args.fig_format,
+                       log=lambda m: print(m, file=sys.stderr), **kw)
         print(json.dumps(out, indent=1))
         return 0
     if args.config == "barplot":
@@ -272,10 +326,13 @@ def main(argv=None):
                 base = _resolve(nm)
                 for w in weeks:
                     c = base.with_week(w) if w else base
-                    if len(weeks) > 1:
-                        # distinct summary keys per (config, week); the
-                        # output tree needs no suffix — filenames carry
-                        # the week (reference layout, Bar_plot reads it)
+                    if w:
+                        # distinct summary keys per (config, week) — even
+                        # for a single --week, so a later plain `suite`
+                        # into the same --out never shares keys with it;
+                        # the output tree needs no suffix — filenames
+                        # carry the week (reference layout, Bar_plot
+                        # reads it)
                         c = _replace(c, name=f"{c.name}[{w}]")
                     cfgs.append(c)
         except KeyError as e:
@@ -370,8 +427,22 @@ def main(argv=None):
                           file=sys.stderr)
                 _dump(partial=True)   # survive a kill mid-suite
         summary = _dump(partial=False)
+        check_failures = []
+        if args.check:
+            check_failures = _check_suite(results, args.check)
+            summary["check"] = {
+                "expected": args.check,
+                "failures": check_failures,
+                "ok": not check_failures}
+            for line in check_failures:
+                print(f"[check] FAIL {line}", file=sys.stderr)
+            if not check_failures:
+                print("[check] ok: all configs within tolerance",
+                      file=sys.stderr)
         print(json.dumps(summary, indent=1))
-        return 1 if any("error" in r for r in results.values()) else 0
+        if any("error" in r for r in results.values()) or check_failures:
+            return 1
+        return 0
 
     try:
         cfg = _resolve(args.config)

@@ -114,16 +114,38 @@ def plot_climatology(values, lats, lons, path, vmin=0.0, vmax=18.0,
     return path
 
 
+# the notebook's discrete contour levels (ACCs.ipynb cells 13/25/38):
+# CC maps span +-0.6, ACC maps +-0.5, both at 0.1 steps with the color
+# range pinned to +-0.4
+CC_LEVELS = tuple(np.round(np.arange(-0.6, 0.61, 0.1), 1))
+ACC_LEVELS = tuple(np.round(np.arange(-0.5, 0.51, 0.1), 1))
+
+
 def plot_skill_map(values, lats, lons, path, title="", levels=None,
-                   vmin=-0.6, vmax=0.6, cmap="RdBu_r", dpi=150):
-    """Single CC/ACC-style map (ACCs.ipynb cells 13/25/38 look)."""
+                   vmin=-0.4, vmax=0.4, cmap="RdBu_r", dpi=300):
+    """Single CC/ACC map, styled as ACCs.ipynb cells 13/25/38: discrete
+    0.1-wide color bins over the given levels (CC_LEVELS / ACC_LEVELS),
+    RdBu_r pinned to +-0.4, tight bbox. The notebook exports these as
+    PDFs at dpi 300 — pass a .pdf path for the same artifact."""
+    from matplotlib.colors import BoundaryNorm
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig, ax = plt.subplots(figsize=(5, 4))
-    pm = ax.pcolormesh(lons, lats, values, vmin=vmin, vmax=vmax, cmap=cmap,
-                       shading="nearest")
+    if levels is not None:
+        # reproduce contourf(levels=..., vmin=..., vmax=...): colors are
+        # sampled from the cmap over [vmin, vmax] per 0.1 bin
+        lv = np.asarray(levels, float)
+        cmap_o = plt.get_cmap(cmap)
+        centers = (lv[:-1] + lv[1:]) / 2
+        colors = cmap_o(np.clip((centers - vmin) / (vmax - vmin), 0, 1))
+        from matplotlib.colors import ListedColormap
+        pm = ax.pcolormesh(lons, lats, values, cmap=ListedColormap(colors),
+                           norm=BoundaryNorm(lv, len(colors)),
+                           shading="nearest")
+    else:
+        pm = ax.pcolormesh(lons, lats, values, vmin=vmin, vmax=vmax,
+                           cmap=cmap, shading="nearest")
     ax.set_title(title)
     fig.colorbar(pm, ax=ax, shrink=0.8)
-    fig.tight_layout()
-    fig.savefig(path, dpi=dpi)
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
     return path

@@ -215,7 +215,7 @@ def test_prefetch_matches_run_nn_branch_programs(tmp_path):
     # exercises the mesh-sharded program path.
     assert tune_mod.prefetch_nn_programs(
         cfg, source="synthetic", seed=0, synthetic_step=2.0,
-        log=lambda *a: None) == 1
+        log=lambda *a: None) == 5   # 3 ELR + labeler + NN buckets
     bundles = tune_mod.load_bundles(cfg, "synthetic", seed=0,
                                     synthetic_step=2.0)
     bundles = {n: tune_mod._apply_pad(cfg, b) for n, b in bundles.items()}
@@ -224,8 +224,23 @@ def test_prefetch_matches_run_nn_branch_programs(tmp_path):
     if len(_jax.devices()) > 1:
         from s2s_ismr_tpu.parallel import mesh as pmesh
         mesh = pmesh.sweep_mesh()
+    # the ELR/labeling/RPSS programs were prefetched too (VERDICT r4 #2:
+    # the ELR stage was the suite's un-prefetched critical-path floor);
+    # the real branches must be FULL memo hits — zero new program keys
+    _SHARED_TAGS = ("elr_fit_folds", "elr_folds", "rpss_folds",
+                    "fit_label_folds")
+    def shared_keys():
+        return {k for k in _program_memo._d if k[0] in _SHARED_TAGS}
+    before = shared_keys()
+    assert len(before) >= 4
+    elr_res = tune_mod.run_elr_branch(cfg, bundles, log=lambda *a: None,
+                                      mesh=mesh)
+    import numpy as _np
+    assert _np.isfinite(elr_res.rpss_test.values).any()
     res = tune_mod.run_nn_branch(cfg, bundles, log=lambda *a: None,
                                  mesh=mesh)
+    assert shared_keys() == before, \
+        "prefetched ELR/label/RPSS avals drifted from the real branches'"
     assert res.sweeps, "unet config must produce a sweep"
     from s2s_ismr_tpu.train.sweep import bucket_trials, enumerate_trials
     n_buckets = len(bucket_trials(enumerate_trials(cfg.tuning)))
@@ -365,6 +380,102 @@ def test_week_override_pipeline_end_to_end(tmp_path):
     with open(mdir / "winners_wk1.json") as fh:
         manifest = json.load(fh)
     assert manifest and manifest[0]["fingerprint"]["week"] == "wk1"
+
+
+def test_suite_check_gate(tmp_path, monkeypatch, capsys):
+    """suite --check compares each config's ELR/NN test-RPSS means to the
+    expectation file and exits 1 on drift beyond the tolerance — the
+    three-session bit-identity property (PERF.md 'Skill outputs') turned
+    into a standing regression gate so perf changes cannot silently move
+    skill. Expected-but-not-run configs are reported, not failed (a
+    --configs subset checks only its subset)."""
+    import numpy as np
+    from types import SimpleNamespace
+
+    vals = {"tune_ECMWF_com": 0.25, "tune_GEFS_com": 0.27}
+
+    def fake_run_pipeline(cfg, **kw):
+        fld = SimpleNamespace(values=np.full((2, 4, 4), vals[cfg.name]))
+        return SimpleNamespace(elr=SimpleNamespace(rpss_test=fld),
+                               nn=SimpleNamespace(rpss_test=fld),
+                               elapsed_s=1.0, paths={}, figures={})
+
+    from s2s_ismr_tpu.pipelines import tune as tune_mod
+    monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+    monkeypatch.setattr(tune_mod, "prefetch_nn_programs",
+                        lambda *a, **k: 0)
+
+    exp = {"tolerance": 1e-9,
+           "configs": {
+               "tune_ECMWF_com": {"elr_rpss_test_mean": 0.25,
+                                  "nn_rpss_test_mean": 0.25},
+               "tune_GEFS_com": {"elr_rpss_test_mean": 0.27,
+                                 "nn_rpss_test_mean": 0.27},
+               "tune_IITM_com": {"nn_rpss_test_mean": 0.5}}}
+    epath = tmp_path / "expected.json"
+    epath.write_text(json.dumps(exp))
+
+    # all within tolerance -> 0; the un-run config is skipped, not failed
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
+                     "--fast", "--out", str(tmp_path / "a"),
+                     "--check", str(epath)]) == 0
+    cap = capsys.readouterr()
+    assert "skip tune_IITM_com" in cap.err and "[check] ok" in cap.err
+    assert json.loads(cap.out)["check"]["ok"] is True
+
+    # drift -> exit 1 with the offending key named
+    exp["configs"]["tune_GEFS_com"]["nn_rpss_test_mean"] = 0.2701
+    epath.write_text(json.dumps(exp))
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com,tune_GEFS_com",
+                     "--fast", "--out", str(tmp_path / "b"),
+                     "--check", str(epath)]) == 1
+    err = capsys.readouterr().err
+    assert "FAIL tune_GEFS_com.nn_rpss_test_mean" in err
+
+    # an errored config fails the check explicitly
+    def failing_run(cfg, **kw):
+        raise RuntimeError("boom")
+    monkeypatch.setattr(tune_mod, "run_pipeline", failing_run)
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com", "--fast",
+                     "--out", str(tmp_path / "c"),
+                     "--check", str(epath)]) == 1
+
+
+def test_week_rejected_for_barplot_accs():
+    """--week is consumed only by tune configs, suite and realtime; for
+    barplot/accs it must be rejected rather than silently ignored
+    (ADVICE r4: `run barplot --week wk1` quietly ran the default
+    matrix). --list with a week still lists."""
+    for sub in ("barplot", "accs"):
+        with pytest.raises(SystemExit, match="not consumed"):
+            cli.main([sub, "--week", "wk1"])
+    assert cli.main(["--list", "--week", "wk9"]) == 0   # no validation
+
+
+def test_suite_single_week_suffixes_keys(tmp_path, monkeypatch):
+    """Even a single --week suffixes summary keys: `suite --week wk1` and
+    a later plain `suite` into the same --out must never share config
+    keys (ADVICE r4: identical keys were distinguished only by the
+    settings fingerprint, discarding prior summary entries on resume)."""
+    import numpy as np
+    from types import SimpleNamespace
+
+    def fake_run_pipeline(cfg, **kw):
+        fld = SimpleNamespace(values=np.zeros((2, 4, 4)))
+        return SimpleNamespace(elr=SimpleNamespace(rpss_test=fld),
+                               nn=SimpleNamespace(rpss_test=fld),
+                               elapsed_s=1.0, paths={}, figures={})
+
+    from s2s_ismr_tpu.pipelines import tune as tune_mod
+    monkeypatch.setattr(tune_mod, "run_pipeline", fake_run_pipeline)
+    monkeypatch.setattr(tune_mod, "prefetch_nn_programs",
+                        lambda *a, **k: 0)
+    out = str(tmp_path)
+    assert cli.main(["suite", "--configs", "tune_ECMWF_com", "--week",
+                     "wk1", "--fast", "--out", out]) == 0
+    with open(tmp_path / "suite_summary.json") as fh:
+        s = json.load(fh)
+    assert set(s["configs"]) == {"tune_ECMWF_com[wk1]"}
 
 
 def test_fast_variant_keeps_native_grid():
