@@ -315,7 +315,11 @@ def _validate_winner_fingerprint(models_dir, cfg):
     if not fp:
         return                       # pre-fingerprint checkpoint
     for key, want in (("predictor", cfg.predictor), ("output", cfg.output),
-                      ("standardize", bool(cfg.standardize))):
+                      ("standardize", bool(cfg.standardize)),
+                      # a winners tree copied across week dirs (manifest
+                      # renamed) must not silently blend leads: the
+                      # tuned week travels in the fingerprint
+                      ("week", cfg.week)):
         got = fp.get(key, "proba" if key == "output" else None)
         if got is not None and got != want:
             raise ValueError(

@@ -619,18 +619,23 @@ def prefetch_nn_programs(cfg: PipelineConfig, source="synthetic", seed=0,
     return n + 2
 
 
+_det_to_probs_jit = jax.jit(lambda p, w, e, pr: terciles.one_hot_labels(
+    jax.vmap(lambda pv, ev, prv: terciles.label_terciles(pv, w, ev, prv)
+             )(p, e, pr)))
+
+
 def _deterministic_to_probs(preds, weeks, edges_pr):
     """Categorize deterministic precip predictions (F, T, H, W, 1) with
     each fold's rolling tercile edges, yielding one-hot (F, T, H, W, 3)
     'probabilities' so deterministic runs score through the exact same
     RPSS/MME machinery as the proba head. (The reference's deterministic
-    head, deep_nn_models.py:104-105, dead-ends before any scoring.)"""
+    head, deep_nn_models.py:104-105, dead-ends before any scoring.)
+    Routed through the program memo like the other module-level jits."""
+    from ..programs import memoized_call
     edges, present = edges_pr
-    w = jnp.asarray(weeks)
-    lab = jax.vmap(
-        lambda p, e, pr: terciles.label_terciles(p, w, e, pr)
-    )(jnp.asarray(preds)[..., 0], edges, present)
-    return np.asarray(terciles.one_hot_labels(lab))
+    return np.asarray(memoized_call(
+        "det_to_probs", _det_to_probs_jit,
+        (jnp.asarray(preds)[..., 0], weeks, edges, present)))
 
 
 def _make_architecture(arch: str, x_shape):
