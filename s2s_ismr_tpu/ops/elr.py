@@ -158,7 +158,7 @@ _FOLDS_JIT = jax.jit(_FOLDS_VMAPPED)
 
 
 def elr_folds(x_mean, targets_folds, train_masks, test_masks, y_raw,
-              mesh=None, compile_only=False):
+              mesh=None, compile_only=False, background=None):
     """vmap over folds: targets_folds (F, 2, T, *S), masks (F, T).
     Returns (F, T, *S, 3).
 
@@ -177,7 +177,8 @@ def elr_folds(x_mean, targets_folds, train_masks, test_masks, y_raw,
     if mesh is None:
         return memoized_call("elr_folds", _FOLDS_JIT, args,
                              compile_only=compile_only,
-                             background=compile_only)
+                             background=(compile_only if background is None
+                                         else background))
     from jax.sharding import NamedSharding, PartitionSpec as P
     ax = mesh.axis_names[0]
     in_sh = (NamedSharding(mesh, P(None, ax)),               # x (T,Y,X)
@@ -190,7 +191,8 @@ def elr_folds(x_mean, targets_folds, train_masks, test_masks, y_raw,
                      out_shardings=out_sh)
     return memoized_call("elr_folds", jitted, args, mesh=mesh,
                          compile_only=compile_only,
-                         background=compile_only)
+                         background=(compile_only if background is None
+                                     else background))
 
 
 def blend_probabilities(prob_list):

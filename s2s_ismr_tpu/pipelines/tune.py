@@ -120,23 +120,27 @@ def _elr_fit_impl(y, weeks, train_masks, wm):
 _elr_fit_jit = jax.jit(_elr_fit_impl)
 
 
-def _elr_fit_folds(y, weeks, train_masks, wm, compile_only=False):
+def _elr_fit_folds(y, weeks, train_masks, wm, compile_only=False,
+                   background=None):
     from ..programs import memoized_call
     return memoized_call("elr_fit_folds", _elr_fit_jit,
                          (y, weeks, train_masks, wm),
                          compile_only=compile_only,
-                         background=compile_only)
+                         background=(compile_only if background is None
+                                     else background))
 
 
 _rpss_folds_jit = jax.jit(jax.vmap(metrics.rpss, in_axes=(None, 0, 0, 0)))
 
 
-def _rpss_folds_j(climo, preds, labels, masks, compile_only=False):
+def _rpss_folds_j(climo, preds, labels, masks, compile_only=False,
+                  background=None):
     from ..programs import memoized_call
     return memoized_call("rpss_folds", _rpss_folds_jit,
                          (climo, preds, labels, masks),
                          compile_only=compile_only,
-                         background=compile_only)
+                         background=(compile_only if background is None
+                                     else background))
 
 
 # per-fold rolling-tercile fit+label for the NN branch (_nn_setup): the
@@ -173,6 +177,38 @@ def run_elr_branch(cfg: PipelineConfig, bundles, log=print,
     fm = splits.bootstrap_masks_elr(first.years, cfg.n_bootstraps,
                                     frac_test=cfg.elr_frac_test)
     wm = timeutils.week_window_matrix(1)
+
+    # compile this branch's three programs IN PARALLEL up front (shapes
+    # are known before any result is): the remote compile server overlaps
+    # requests (measured by the NN parallel bucket pool — cold start pays
+    # ~the slowest program, not the sum), but the natural call order here
+    # compiled fit -> GLM -> RPSS serially, making the first config's ELR
+    # stage the suite's cold floor (719-2,045 s measured r4/r5). All
+    # later calls below hit the memo / join the in-flight compiles.
+    from concurrent.futures import ThreadPoolExecutor
+    F = fm.train.shape[0]
+    ys = tuple(y_shared.shape)
+    f32 = jnp.float32
+    y_av = jax.ShapeDtypeStruct(ys, f32)
+    tm = jnp.asarray(fm.train)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        # background=False: these ARE the foreground (the pipeline holds
+        # compile priority around this stage; waiting on the gate from
+        # inside it would deadlock against our own f.result())
+        futs = [
+            ex.submit(_elr_fit_folds, y_av, first.weeks, tm, wm,
+                      compile_only=True, background=False),
+            ex.submit(elr_ops.elr_folds, y_av,
+                      jax.ShapeDtypeStruct((F, 2) + ys, f32),
+                      fm.train, fm.test, y_av, mesh=mesh,
+                      compile_only=True, background=False),
+            ex.submit(_rpss_folds_j, jax.ShapeDtypeStruct(ys + (3,), f32),
+                      jax.ShapeDtypeStruct((F,) + ys + (3,), f32),
+                      jax.ShapeDtypeStruct((F,) + ys, f32), tm,
+                      compile_only=True, background=False),
+        ]
+        for f in futs:
+            f.result()   # compile errors surface here, not mid-branch
 
     # all folds fitted in ONE vmapped program (the reference refits the
     # labeler per fold in Python; the per-fold loop here used to cost a
