@@ -180,6 +180,16 @@ def main(argv=None):
             # key, the second silently overwriting the first
             print("error: duplicate weeks in --week", file=sys.stderr)
             return 2
+    if args.profile and not args.fast:
+        # a jax.profiler trace of a production NN sweep stage exceeds the
+        # 2 GB XSpace protobuf limit (fails to serialize after a ~59 GB
+        # RSS, multi-minute stall); stage-timing JSONs are written on
+        # every run without it (outputs/**/profile_{week}.json)
+        print("[warn] --profile traces a full production sweep; at this "
+              "scale the profiler exceeds the 2 GB XSpace limit (see "
+              "CLAUDE.md). Stage timings are recorded without --profile; "
+              "combine --profile with --fast for an inspectable trace.",
+              file=sys.stderr)
     if args.source is None:
         # operational realtime fits tercile edges on the hindcast record;
         # a synthetic default there would silently score real forecasts
@@ -346,6 +356,7 @@ def main(argv=None):
                         "predictor", "source", "seed", "step",
                         "training_type", "batch_size", "week")}
         t0 = time.time()
+        prior_total = 0.0   # wall already spent in resumed-over sessions
         spath = os.path.join(args.out, "suite_summary.json")
         results = {}
         if args.resume and os.path.exists(spath):
@@ -360,6 +371,9 @@ def main(argv=None):
                 # keep successes; failed configs are retried
                 results = {k: v for k, v in prior.get("configs", {}).items()
                            if "error" not in v}
+                # cumulative wall: a resumed session must not clobber the
+                # prior sessions' measured total with its own (short) clock
+                prior_total = float(prior.get("total_s", 0.0))
                 if results:
                     print(f"[suite] resuming past {sorted(results)}",
                           file=sys.stderr)
@@ -370,7 +384,7 @@ def main(argv=None):
 
         def _dump(partial):
             summary = {"configs": results, "settings": fingerprint,
-                       "total_s": round(time.time() - t0, 2),
+                       "total_s": round(prior_total + time.time() - t0, 2),
                        "partial": partial}
             tmp = spath + ".tmp"
             with open(tmp, "w") as fh:
@@ -434,6 +448,12 @@ def main(argv=None):
                 "expected": args.check,
                 "failures": check_failures,
                 "ok": not check_failures}
+            # re-dump so the persisted summary carries the gate verdict
+            # (not just the stdout copy)
+            tmp = spath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(summary, fh, indent=1)
+            os.replace(tmp, spath)
             for line in check_failures:
                 print(f"[check] FAIL {line}", file=sys.stderr)
             if not check_failures:
