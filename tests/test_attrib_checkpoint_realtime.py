@@ -198,10 +198,13 @@ def test_accs_and_barplot_drivers(tmp_path):
                              out_root=str(tmp_path), step=4.0,
                              make_plots=True, log=lambda *a: None)
     weeks = {"wk1", "wk2", "wk3", "wk4", "wk3-4"}
-    # per week: the ccacc netcdf + CC/ACC panel; the two mm/day
-    # climatology maps render for wk3-4 only (ACCs.ipynb cells
-    # 10-11/23/36 all plot the week34 dataset)
-    assert set(out["ECMWF"]) == (weeks | {f"fig_{w}" for w in weeks}
+    # per week: the ccacc netcdf + separate CC and ACC maps (the notebook
+    # plots them as distinct figures at +-0.6/+-0.5 levels, ACCs.ipynb
+    # cells 13/25/38); the two mm/day climatology maps render for wk3-4
+    # only (cells 10-11/23/36 all plot the week34 dataset)
+    assert set(out["ECMWF"]) == (weeks
+                                 | {f"fig_cc_{w}" for w in weeks}
+                                 | {f"fig_acc_{w}" for w in weeks}
                                  | {"fig_climo_wk3-4",
                                     "fig_climo_obs_wk3-4"})
     assert all(os.path.exists(p) for p in out["ECMWF"].values())
